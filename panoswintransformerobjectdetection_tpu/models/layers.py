@@ -1,0 +1,137 @@
+"""Shared flax building blocks: MLP, DropPath, patch embed/merge, norms.
+
+Numerics match the torch reference so converted checkpoints reproduce
+outputs: LayerNorm eps 1e-5, exact (erf) GELU, trunc-normal(0.02) init.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+trunc_init = jax.nn.initializers.truncated_normal(stddev=0.02)
+
+
+def gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with torch defaults (eps=1e-5, affine)."""
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.epsilon, name="ln")(x)
+
+
+def layer_norm(name: str):
+    return nn.LayerNorm(epsilon=1e-5, name=name)
+
+
+class Mlp(nn.Module):
+    """fc1 -> GELU -> fc2, hidden = dim * mlp_ratio (`Mlp`, reference :44)."""
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, kernel_init=trunc_init, name="fc1")(x)
+        x = gelu_exact(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(out_dim, kernel_init=trunc_init, name="fc2")(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath semantics)."""
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class ConvStemPatchEmbed(nn.Module):
+    """PanoSwin 3-conv patch stem: 3x3+BN+ReLU x2 then patch-stride conv
+    (`PatchEmbed`, simple_panoswin_transformer.py:727-773).
+
+    Input (B, H, W, Cin) NHWC; output (B, H/ps, W/ps, embed_dim).
+    Spatial dims are zero-padded up to a multiple of patch_size first.
+    """
+    patch_size: int = 4
+    embed_dim: int = 96
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ps = self.patch_size
+        B, H, W, _ = x.shape
+        if W % ps:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, ps - W % ps), (0, 0)))
+        if H % ps:
+            x = jnp.pad(x, ((0, 0), (0, ps - H % ps), (0, 0), (0, 0)))
+        d3 = self.embed_dim // 3
+        x = nn.Conv(d3, (3, 3), padding=1, name="conv0")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn0")(x)
+        x = nn.relu(x)
+        x = nn.Conv(d3 * 2, (3, 3), padding=1, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), name="proj")(x)
+        if self.use_norm:
+            x = layer_norm("norm")(x)
+        return x
+
+
+class SingleConvPatchEmbed(nn.Module):
+    """Stock Swin patch embed: one patch-stride conv (+LN)
+    (`swin_transformer.py` PatchEmbed)."""
+    patch_size: int = 4
+    embed_dim: int = 96
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ps = self.patch_size
+        B, H, W, _ = x.shape
+        if W % ps:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, ps - W % ps), (0, 0)))
+        if H % ps:
+            x = jnp.pad(x, ((0, 0), (0, ps - H % ps), (0, 0), (0, 0)))
+        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), name="proj")(x)
+        if self.use_norm:
+            x = layer_norm("norm")(x)
+        return x
+
+
+class PatchMerging(nn.Module):
+    """2x2 neighborhood concat -> LN -> Linear(4C, 2C) (`PatchMerging:539`).
+
+    (B, H, W, C) -> (B, ceil(H/2), ceil(W/2), 2C); odd dims zero-padded.
+    """
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        if H % 2 or W % 2:
+            x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2, :]
+        x1 = x[:, 1::2, 0::2, :]
+        x2 = x[:, 0::2, 1::2, :]
+        x3 = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = layer_norm("norm")(x)
+        x = nn.Dense(2 * C, use_bias=False, kernel_init=trunc_init, name="reduction")(x)
+        return x

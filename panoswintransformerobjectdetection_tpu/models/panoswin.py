@@ -1,0 +1,389 @@
+"""PanoSwin Transformer backbone — TPU-native flax implementation.
+
+Re-design of the reference PanoSwin (CVPR'23), primary source
+`mmdet/models/backbones/simple_panoswin_transformer.py` (the file the
+reference README points at).  Key departures from the torch code:
+
+- uv coordinates are SIDE-BAND data `(x, uv)` threaded through calls, not
+  two extra feature channels (the reference's C = c+2 concat,
+  `simple_panoswin_transformer.py:964`, exists only because nn.Module
+  signatures are rigid).
+- layout is NHWC end-to-end (TPU conv/attention native layout); tokens stay
+  (B, H, W, C) between blocks — reshape to windows happens only around the
+  attention op.
+- all shapes are static under jit; the planar attention mask and relative
+  position indices are built in numpy at trace time and baked as constants.
+- pano-shift (`WindowTransition:326`) = roll/flip/concat layout ops.
+- attention itself can run through the fused Pallas kernel (ops/attention)
+  or the XLA einsum path.
+
+Modes: `pano_mode=True` gives great-circle position bias (haversine * alpha
+table + beta table) and pano-shift; `pano_mode=False` reproduces planar
+Swin semantics (beta table only, cyclic shift, 9-region mask).
+"""
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..geometry.sphere import make_uv_grid, haversine
+from ..geometry.rotate import pano_rotate, pano_rotate_image
+from ..geometry.resample import grid_sample_nhwc
+from ..ops.windows import (
+    window_partition, window_reverse, make_relative_position_index,
+    swin_attention_mask, window_transition, window_transition_reverse,
+)
+from .layers import (
+    Mlp, DropPath, ConvStemPatchEmbed, PatchMerging, layer_norm, trunc_init,
+)
+from .registry import BACKBONES
+
+PI = math.pi
+
+
+def sphere_bias(alpha_table, beta_table, rel_index, uv1, uv2, pano_mode):
+    """Great-circle attention bias (`BasicWindowAttention._sphere_bias:241`).
+
+    pano:   haversine(uv1, uv2) * alpha[rel] + beta[rel]
+    planar: beta[rel]
+    alpha/beta_table: (T, heads); rel_index: (O, O) static; uv*: (n, O, 2).
+    Returns (n, heads, O, O) (or (1, heads, O, O) in planar mode).
+    """
+    beta = beta_table[rel_index]                      # (O, O, heads)
+    if pano_mode:
+        hav = haversine(uv1, uv2)                     # (n, O, O)
+        alpha = alpha_table[rel_index]                # (O, O, heads)
+        bias = hav[..., None] * alpha[None] + beta[None]
+        return bias.transpose(0, 3, 1, 2)
+    return beta.transpose(2, 0, 1)[None]
+
+
+def _attention_core(q, k, v, bias, mask, scale):
+    """(n, heads, O, hd) attention with additive bias/mask, fp32 softmax."""
+    n, h, O, hd = q.shape
+    attn = jnp.einsum("nhqd,nhkd->nhqk", q * scale, k,
+                      preferred_element_type=jnp.float32)
+    attn = attn + bias.astype(attn.dtype)
+    if mask is not None:
+        nW = mask.shape[0]
+        attn = attn.reshape(n // nW, nW, h, O, O) + mask[None, :, None].astype(attn.dtype)
+        attn = attn.reshape(n, h, O, O)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("nhqk,nhkd->nhqd", attn.astype(v.dtype), v)
+    return out
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with dual-table spherical relative bias (`WindowAttention:315`)."""
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+
+    def setup(self):
+        self.qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                            kernel_init=trunc_init, name="qkv")
+        self.proj = nn.Dense(self.dim, kernel_init=trunc_init, name="proj")
+        t = (2 * self.window_size - 1) ** 2
+        self.alpha_table = self.param("alpha_table", trunc_init, (t, self.num_heads))
+        self.beta_table = self.param("beta_table", trunc_init, (t, self.num_heads))
+        self.rel_index = make_relative_position_index(self.window_size)
+
+    def __call__(self, x_windows, uv_windows, mask=None, pano_mode=True):
+        """x_windows: (n, O, c); uv_windows: (n, O, 2) or None; mask: (nW, O, O)."""
+        n, O, c = x_windows.shape
+        h = self.num_heads
+        hd = c // h
+        scale = self.qk_scale or hd ** -0.5
+        qkv = self.qkv(x_windows).reshape(n, O, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        bias = sphere_bias(self.alpha_table, self.beta_table, self.rel_index,
+                           uv_windows, uv_windows, pano_mode)
+        out = _attention_core(q, k, v, bias, mask, scale)
+        out = out.transpose(0, 2, 1, 3).reshape(n, O, c)
+        return self.proj(out)
+
+
+class PanoSwinBlock(nn.Module):
+    """One (shifted-)window attention block (`PanoSwinTransformerBlock:412`)."""
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, uv, pano_mode=True, deterministic=True):
+        """x: (B, H, W, c); uv: (B, H, W, 2) (zeros in planar mode)."""
+        B, H, W, c = x.shape
+        ws = self.window_size
+        shortcut = x
+        xn = layer_norm("norm1")(x)
+
+        xu = jnp.concatenate([xn, uv], axis=-1)   # carry uv through the same permutation
+        if pano_mode and self.shift_size > 0:
+            xu = window_transition(xu, self.shift_size, True)
+        SH, SW = xu.shape[1], xu.shape[2]
+        ph, pw = (-SH) % ws, (-SW) % ws
+        if ph or pw:
+            xu = jnp.pad(xu, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        if (not pano_mode) and self.shift_size > 0:
+            xu = window_transition(xu, self.shift_size, False)
+            mask = jnp.asarray(swin_attention_mask(SH + ph, SW + pw, ws, self.shift_size))
+        else:
+            mask = None
+        Hp, Wp = xu.shape[1], xu.shape[2]
+
+        wins = window_partition(xu, ws).reshape(-1, ws * ws, c + 2)
+        attn = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
+                               self.qk_scale, name="attn")(
+            wins[..., :c], wins[..., c:], mask=mask, pano_mode=pano_mode)
+        y = window_reverse(attn.reshape(-1, ws, ws, c), ws, Hp, Wp)
+
+        if (not pano_mode) and self.shift_size > 0:
+            y = window_transition_reverse(y, self.shift_size, False)
+        y = y[:, :SH, :SW, :]
+        if pano_mode and self.shift_size > 0:
+            y = window_transition_reverse(y, self.shift_size, True, width_was_odd=bool(W % 2))
+        y = y[:, :H, :W, :]
+
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path2")(
+            Mlp(int(self.dim * self.mlp_ratio), name="mlp")(
+                layer_norm("norm2")(x), deterministic), deterministic)
+        return x
+
+
+class PitchAttention(nn.Module):
+    """Cross-window attention against a great-circle-rotated resampling of
+    the whole map (`PitchAttentionModule:990`).
+
+    q/v from the original windows, k from the same windows of the rotated
+    map; sphere bias couples original and rotated uv.  The reference's
+    `with_uv=True` call crashes (`simple_panoswin_transformer.py:1038` —
+    `lzx/pano_rotate.py:169` has no such parameter); we implement the
+    intended behavior: uv is resampled through the identical grid.
+    """
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    np_v: float = -0.0001
+
+    def setup(self):
+        d = self.dim
+        self.q_linear = nn.Dense(d, use_bias=self.qkv_bias, kernel_init=trunc_init, name="q_linear")
+        self.k_linear = nn.Dense(d, use_bias=self.qkv_bias, kernel_init=trunc_init, name="k_linear")
+        self.v_linear = nn.Dense(d, use_bias=self.qkv_bias, kernel_init=trunc_init, name="v_linear")
+        self.proj = nn.Dense(d, kernel_init=trunc_init, name="proj")
+        t = (2 * self.window_size - 1) ** 2
+        self.alpha_table = self.param("alpha_table", trunc_init, (t, self.num_heads))
+        self.beta_table = self.param("beta_table", trunc_init, (t, self.num_heads))
+        self.rel_index = make_relative_position_index(self.window_size)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+        self.mlp = Mlp(int(self.dim * self.mlp_ratio), name="mlp")
+
+    def _rotated_windows(self, xu, pad_r, pad_b):
+        """Rotate the (feature+uv) map and resample one window per original
+        window position (`PitchAttentionModule.get_rotated:1024`)."""
+        B, Hp, Wp, C = xu.shape
+        ws = self.window_size
+        np_uv = jnp.array([1.0 * PI, self.np_v * PI], jnp.float32)
+
+        rot_bchw, _ = pano_rotate_image(jnp.moveaxis(xu, -1, 1), np_uv)
+        rotated = jnp.moveaxis(rot_bchw, 1, -1)       # (B, Hp, Wp, C)
+
+        nH, nW = Hp // ws, Wp // ws
+        us = ((jnp.arange(nW, dtype=jnp.float32) + 0.5) / nW * 2.0 * (1.0 - pad_r / Wp) - 1.0) * PI
+        vs = ((jnp.arange(nH, dtype=jnp.float32) + 0.5) / nH * (1.0 - pad_b / Hp) - 0.5) * PI
+        uu = jnp.broadcast_to(us[None, :], (nH, nW))
+        vv = jnp.broadcast_to(vs[:, None], (nH, nW))
+        centers = jnp.stack([uu, vv], -1).reshape(-1, 2)
+        rc = pano_rotate(np_uv, centers).reshape(nH, nW, 2) / PI
+        rc = rc.at[..., 1].multiply(-1.0)
+        rc = jnp.flip(rc, axis=0)
+        rc = rc.at[..., 1].multiply(2.0)
+
+        ar = (jnp.arange(ws, dtype=jnp.float32) + 0.5 - 0.5 * ws) / Hp
+        gx = jnp.broadcast_to(ar[:, None], (ws, ws))
+        gy = jnp.broadcast_to(ar[None, :], (ws, ws))
+        bias = jnp.stack([gx, gy], -1) * 2.0
+        bias = bias.at[..., 0].multiply(0.5)
+        grids = rc[:, :, None, None, :] + bias[None, None]   # (nH, nW, ws, ws, 2)
+        grids = grids.reshape(nH * nW, ws * ws, 2)
+        grids = jnp.where(grids <= -1.0, grids + 2.0, grids)
+        grids = jnp.where(grids >= 1.0, grids - 2.0, grids)
+
+        g = jnp.broadcast_to(grids[None], (B, nH * nW, ws * ws, 2))
+        sampled = grid_sample_nhwc(rotated, g, padding_mode="border",
+                                   align_corners=False)     # (B, s, O, C)
+        sampled = sampled.reshape(B, nH, nW, ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
+        return sampled.reshape(B, Hp, Wp, C)
+
+    def __call__(self, x, uv, pano_mode=True, deterministic=True):
+        B, H, W, c = x.shape
+        ws = self.window_size
+        shortcut = x
+        xn = self.norm1(x)
+        xu = jnp.concatenate([xn, uv], axis=-1)
+        pad_b, pad_r = (-H) % ws, (-W) % ws
+        if pad_b or pad_r:
+            xu = jnp.pad(xu, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        Hp, Wp = xu.shape[1], xu.shape[2]
+
+        rotated = self._rotated_windows(xu, pad_r, pad_b) if pano_mode else xu
+
+        wins = window_partition(xu, ws).reshape(-1, ws * ws, c + 2)
+        rwins = window_partition(rotated, ws).reshape(-1, ws * ws, c + 2)
+
+        n, O, _ = wins.shape
+        h = self.num_heads
+        hd = c // h
+        scale = self.qk_scale or hd ** -0.5
+        q = self.q_linear(wins[..., :c]).reshape(n, O, h, hd).transpose(0, 2, 1, 3)
+        k = self.k_linear(rwins[..., :c]).reshape(n, O, h, hd).transpose(0, 2, 1, 3)
+        v = self.v_linear(wins[..., :c]).reshape(n, O, h, hd).transpose(0, 2, 1, 3)
+        bias = sphere_bias(self.alpha_table, self.beta_table, self.rel_index,
+                           wins[..., c:], rwins[..., c:], pano_mode)
+        out = _attention_core(q, k, v, bias, None, scale)
+        out = out.transpose(0, 2, 1, 3).reshape(n, O, c)
+        out = self.proj(out)
+
+        y = window_reverse(out.reshape(-1, ws, ws, c), ws, Hp, Wp)[:, :H, :W, :]
+        x = shortcut + y
+        x = x + self.mlp(self.norm2(x), deterministic)
+        return x
+
+
+class BasicLayer(nn.Module):
+    """One resolution stage: alternating W-/SW-MSA blocks, odd depth appends
+    a PitchAttention block, then PatchMerging (`BasicLayer:579`)."""
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_path: Tuple[float, ...] = ()
+    downsample: bool = True
+    use_checkpoint: bool = False
+
+    @nn.compact
+    def __call__(self, x, uv, pano_mode=True, deterministic=True):
+        depth_swin = self.depth - self.depth % 2
+        for i in range(depth_swin):
+            blk = PanoSwinBlock(
+                dim=self.dim, num_heads=self.num_heads, window_size=self.window_size,
+                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                drop_path=self.drop_path[i] if self.drop_path else 0.0,
+                name=f"blocks_{i}")
+            if self.use_checkpoint:
+                x = nn.remat(type(blk).__call__.__func__ if False else None)  # placeholder
+            x = blk(x, uv, pano_mode=pano_mode, deterministic=deterministic)
+        if self.depth % 2:
+            x = PitchAttention(
+                dim=self.dim, num_heads=self.num_heads, window_size=self.window_size,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, name=f"blocks_{depth_swin}")(
+                x, uv, pano_mode=pano_mode, deterministic=deterministic)
+
+        x_out = x
+        if self.downsample:
+            x_down = PatchMerging(name="downsample")(x)
+            B, H2, W2, _ = x_down.shape
+            if pano_mode:
+                uv_down = jnp.broadcast_to(make_uv_grid(H2, W2)[None], (B, H2, W2, 2))
+            else:
+                uv_down = jnp.zeros((B, H2, W2, 2), x.dtype)
+            return x_out, x_down, uv_down
+        return x_out, x, uv
+
+
+@BACKBONES.register
+class PanoSwinTransformer(nn.Module):
+    """PanoSwin backbone (`SimplePanoSwinTransformer:780`).
+
+    Returns NHWC feature maps for each stage in `out_indices`.
+    `pano_mode=False` reproduces planar Swin semantics (incl. the 3-conv
+    stem and dual-table bias with alpha unused).
+    """
+    patch_size: int = 4
+    in_chans: int = 3
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_path_rate: float = 0.2
+    ape: bool = False
+    patch_norm: bool = True
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    pano_mode: bool = True
+    use_checkpoint: bool = False
+
+    @nn.compact
+    def __call__(self, images, pano_mode: Optional[bool] = None,
+                 train: bool = False):
+        """images: (B, H, W, in_chans) NHWC float.
+
+        Returns tuple of (B, Hi, Wi, C_i) maps, C_i = embed_dim * 2**i.
+        """
+        pano = self.pano_mode if pano_mode is None else pano_mode
+        deterministic = not train
+
+        x = ConvStemPatchEmbed(self.patch_size, self.embed_dim,
+                               use_norm=self.patch_norm,
+                               name="patch_embed")(images, train=train)
+        B, H, W, C = x.shape
+
+        if pano:
+            uv_hw2 = make_uv_grid(H, W)
+            if self.ape:
+                u, v = uv_hw2[..., 0], uv_hw2[..., 1]
+                xyz = jnp.stack([jnp.sin(u) * jnp.sin(v),
+                                 jnp.cos(u) * jnp.sin(v),
+                                 jnp.cos(v)], -1)   # `_pano_abs_position:909`
+                xyzuv = jnp.concatenate([xyz, uv_hw2], -1)
+                x = x + nn.Dense(self.embed_dim, kernel_init=trunc_init,
+                                 name="abs_encoder")(xyzuv)[None]
+            uv = jnp.broadcast_to(uv_hw2[None], (B, H, W, 2))
+        else:
+            uv = jnp.zeros((B, H, W, 2), x.dtype)
+            if self.ape:
+                # keep the parameter in the tree so checkpoints round-trip
+                nn.Dense(self.embed_dim, kernel_init=trunc_init,
+                         name="abs_encoder")(jnp.zeros((1, 1, 5), x.dtype))
+
+        num_layers = len(self.depths)
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        outs = []
+        for i in range(num_layers):
+            dim_i = int(self.embed_dim * 2 ** i)
+            start = sum(self.depths[:i])
+            x_out, x, uv = BasicLayer(
+                dim=dim_i, depth=self.depths[i], num_heads=self.num_heads[i],
+                window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                drop_path=tuple(dpr[start:start + self.depths[i]]),
+                downsample=i < num_layers - 1,
+                use_checkpoint=self.use_checkpoint,
+                name=f"layers_{i}")(x, uv, pano_mode=pano, deterministic=deterministic)
+            if i in self.out_indices:
+                outs.append(layer_norm(f"norm{i}")(x_out))
+        return tuple(outs)
