@@ -283,17 +283,19 @@ class BasicLayer(nn.Module):
     @nn.compact
     def __call__(self, x, uv, pano_mode=True, deterministic=True):
         depth_swin = self.depth - self.depth % 2
+        # `use_checkpoint` -> jax.checkpoint (remat) per block, the TPU
+        # analogue of the reference's torch.utils.checkpoint wrapping
+        # (`BasicLayer.forward:705`).
+        block_cls = (nn.remat(PanoSwinBlock, static_argnums=(3, 4))
+                     if self.use_checkpoint else PanoSwinBlock)
         for i in range(depth_swin):
-            blk = PanoSwinBlock(
+            x = block_cls(
                 dim=self.dim, num_heads=self.num_heads, window_size=self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale,
                 drop_path=self.drop_path[i] if self.drop_path else 0.0,
-                name=f"blocks_{i}")
-            if self.use_checkpoint:
-                x = nn.remat(type(blk).__call__.__func__ if False else None)  # placeholder
-            x = blk(x, uv, pano_mode=pano_mode, deterministic=deterministic)
+                name=f"blocks_{i}")(x, uv, pano_mode, deterministic)
         if self.depth % 2:
             x = PitchAttention(
                 dim=self.dim, num_heads=self.num_heads, window_size=self.window_size,
