@@ -1,0 +1,19 @@
+"""Detection algorithm core: boxes, anchors, assignment, sampling, losses.
+
+TPU-native redesign of `mmdet/core/`: everything is fixed-shape (padded
+boxes with validity masks), batched via vmap, and jit-safe — no dynamic
+boolean indexing anywhere.
+"""
+
+from .bbox import (
+    bbox_overlaps, bbox_area, delta_encode, delta_decode, clip_boxes, flip_boxes,
+)
+from .anchors import AnchorGenerator
+from .assigner import max_iou_assign
+from .sampler import random_sample
+from . import losses
+
+__all__ = [
+    "bbox_overlaps", "bbox_area", "delta_encode", "delta_decode", "clip_boxes",
+    "flip_boxes", "AnchorGenerator", "max_iou_assign", "random_sample", "losses",
+]

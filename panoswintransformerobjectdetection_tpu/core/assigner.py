@@ -1,0 +1,47 @@
+"""Fixed-shape MaxIoU assignment (no dynamic boolean indexing).
+
+Semantics of mmdet `MaxIoUAssigner.assign_wrt_overlaps`
+(`mmdet/core/bbox/assigners/max_iou_assigner.py:10`):
+  -1 = ignore, 0 = negative, g+1 = assigned to gt g.
+  negative if 0 <= max_overlap < neg_iou_thr;
+  positive if max_overlap >= pos_iou_thr (to the argmax gt);
+  low-quality matching: every anchor tying a gt's best overlap is assigned
+  to that gt when that best overlap >= min_pos_iou (later gts override —
+  reproduced here by taking the max gt index among candidates).
+"""
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def max_iou_assign(ious: jnp.ndarray, gt_valid: jnp.ndarray,
+                   pos_iou_thr: float, neg_iou_thr: float,
+                   min_pos_iou: float = 0.0,
+                   match_low_quality: bool = True,
+                   eps: float = 1e-7) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One image.  ious: (G, N) anchor overlaps (rows for padded gts are
+    arbitrary); gt_valid: (G,) bool.  Returns (assigned (N,) int32,
+    max_overlaps (N,)).
+    """
+    G, N = ious.shape
+    ious = jnp.where(gt_valid[:, None], ious, -1.0)
+
+    max_overlaps = ious.max(axis=0)
+    argmax_gt = ious.argmax(axis=0)
+
+    assigned = jnp.full((N,), -1, jnp.int32)
+    assigned = jnp.where((max_overlaps >= 0) & (max_overlaps < neg_iou_thr),
+                         0, assigned)
+    assigned = jnp.where(max_overlaps >= pos_iou_thr,
+                         argmax_gt.astype(jnp.int32) + 1, assigned)
+
+    if match_low_quality:
+        gt_max = ious.max(axis=1, keepdims=True)                  # (G, 1)
+        is_cand = (jnp.abs(ious - gt_max) < eps) & (gt_max >= min_pos_iou) \
+            & gt_valid[:, None]
+        gt_ids = jnp.arange(1, G + 1, dtype=jnp.int32)[:, None]
+        lowq = jnp.max(jnp.where(is_cand, gt_ids, 0), axis=0)     # (N,)
+        assigned = jnp.where(lowq > 0, lowq, assigned)
+
+    return assigned, max_overlaps

@@ -1,0 +1,77 @@
+"""Detection losses (`mmdet/models/losses/`): CE, binary CE, L1, smooth-L1,
+GIoU, focal.  All take elementwise weights and an `avg_factor`; XLA fuses
+these fine so no Pallas needed (SURVEY.md 2.9: sigmoid_focal_loss -> jnp).
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _reduce(loss, weight, avg_factor):
+    if weight is not None:
+        loss = loss * weight
+    if avg_factor is None:
+        return loss.mean()
+    return loss.sum() / jnp.maximum(avg_factor, 1e-12)
+
+
+def cross_entropy(logits, labels, weight=None, avg_factor=None):
+    """Softmax CE; labels int (..., ), logits (..., C)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return _reduce(nll, weight, avg_factor)
+
+
+def binary_cross_entropy(logits, targets, weight=None, avg_factor=None):
+    """Sigmoid BCE; targets float same shape as logits."""
+    loss = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return _reduce(loss, weight, avg_factor)
+
+
+def l1_loss(pred, target, weight=None, avg_factor=None):
+    return _reduce(jnp.abs(pred - target), weight, avg_factor)
+
+
+def smooth_l1_loss(pred, target, beta=1.0, weight=None, avg_factor=None):
+    diff = jnp.abs(pred - target)
+    loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+    return _reduce(loss, weight, avg_factor)
+
+
+def giou_loss(pred, target, weight=None, avg_factor=None, eps=1e-7):
+    """1 - GIoU over matched xyxy box pairs (`iou_loss.py` GIoULoss)."""
+    lt = jnp.maximum(pred[..., :2], target[..., :2])
+    rb = jnp.minimum(pred[..., 2:], target[..., 2:])
+    wh = jnp.clip(rb - lt, 0, None)
+    overlap = wh[..., 0] * wh[..., 1]
+    ap = (pred[..., 2] - pred[..., 0]) * (pred[..., 3] - pred[..., 1])
+    ag = (target[..., 2] - target[..., 0]) * (target[..., 3] - target[..., 1])
+    union = ap + ag - overlap + eps
+    iou = overlap / union
+    elt = jnp.minimum(pred[..., :2], target[..., :2])
+    erb = jnp.maximum(pred[..., 2:], target[..., 2:])
+    ewh = jnp.clip(erb - elt, 0, None)
+    enclose = ewh[..., 0] * ewh[..., 1] + eps
+    giou = iou - (enclose - union) / enclose
+    return _reduce(1.0 - giou, weight, avg_factor)
+
+
+def sigmoid_focal_loss(logits, labels, num_classes, gamma=2.0, alpha=0.25,
+                       weight=None, avg_factor=None):
+    """Focal loss; labels int in [0, num_classes] (num_classes = background)."""
+    t = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
+    p = jax.nn.sigmoid(logits)
+    pt = p * t + (1 - p) * (1 - t)
+    at = alpha * t + (1 - alpha) * (1 - t)
+    bce = jnp.maximum(logits, 0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    loss = at * (1 - pt) ** gamma * bce
+    loss = loss.sum(-1)
+    return _reduce(loss, weight, avg_factor)
+
+
+def accuracy(logits, labels, mask=None):
+    pred = logits.argmax(-1)
+    correct = (pred == labels).astype(jnp.float32)
+    if mask is not None:
+        return (correct * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    return correct.mean()

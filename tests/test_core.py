@@ -1,0 +1,242 @@
+"""Detection-core tests: coder golden values, anchors, assigner, sampler,
+losses, NMS (vs an independent numpy greedy), RoIAlign analytics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from panoswintransformerobjectdetection_tpu.core import (
+    bbox_overlaps, delta_encode, delta_decode, AnchorGenerator,
+    max_iou_assign, random_sample, losses,
+)
+from panoswintransformerobjectdetection_tpu.ops.nms import nms, batched_nms, multiclass_nms
+from panoswintransformerobjectdetection_tpu.ops.roi_align import roi_align
+
+
+class TestBBox:
+    def test_delta_decode_golden(self):
+        # golden from mmdet delta2bbox docstring (delta_xywh_bbox_coder.py:175)
+        rois = jnp.array([[0., 0., 1., 1.], [0., 0., 1., 1.],
+                          [0., 0., 1., 1.], [5., 5., 5., 5.]])
+        deltas = jnp.array([[0., 0., 0., 0.], [1., 1., 1., 1.],
+                            [0., 0., 2., -1.], [0.7, -1.9, -0.5, 0.3]])
+        out = delta_decode(rois, deltas, max_shape=(32, 32))
+        expect = np.array([[0.0000, 0.0000, 1.0000, 1.0000],
+                           [0.1409, 0.1409, 2.8591, 2.8591],
+                           [0.0000, 0.3161, 4.1945, 0.6839],
+                           [5.0000, 5.0000, 5.0000, 5.0000]])
+        np.testing.assert_allclose(np.asarray(out), expect, atol=1e-4)
+
+    def test_encode_decode_roundtrip(self, rng):
+        prop = rng.random((20, 4)).astype(np.float32) * 100
+        prop[:, 2:] += prop[:, :2] + 5
+        gt = rng.random((20, 4)).astype(np.float32) * 100
+        gt[:, 2:] += gt[:, :2] + 5
+        means, stds = (0.1, 0.1, 0.2, 0.2), (1.0, 0.5, 0.8, 1.2)
+        d = delta_encode(jnp.asarray(prop), jnp.asarray(gt), means, stds)
+        back = delta_decode(jnp.asarray(prop), d, means, stds, wh_ratio_clip=1e-6)
+        np.testing.assert_allclose(np.asarray(back), gt, atol=1e-3)
+
+    def test_iou_known(self):
+        a = jnp.array([[0., 0., 10., 10.]])
+        b = jnp.array([[5., 5., 15., 15.], [0., 0., 10., 10.], [20., 20., 30., 30.]])
+        iou = np.asarray(bbox_overlaps(a, b))[0]
+        np.testing.assert_allclose(iou, [25 / 175, 1.0, 0.0], atol=1e-6)
+
+    def test_iof(self):
+        a = jnp.array([[0., 0., 10., 10.]])
+        b = jnp.array([[0., 0., 5., 10.]])
+        iof = np.asarray(bbox_overlaps(a, b, mode="iof"))[0, 0]
+        np.testing.assert_allclose(iof, 0.5, atol=1e-6)
+
+
+class TestAnchors:
+    def test_rpn_anchor_shapes(self):
+        gen = AnchorGenerator(strides=[4, 8, 16, 32, 64], ratios=[0.5, 1.0, 2.0], scales=[8])
+        sizes = [(16, 32), (8, 16), (4, 8), (2, 4), (1, 2)]
+        anchors = gen.grid_anchors(sizes)
+        assert len(anchors) == 5
+        assert anchors[0].shape == (16 * 32 * 3, 4)
+        # ratio 1 anchor at stride 4: 32x32 box centered at (0, 0)
+        a = anchors[0][1]
+        np.testing.assert_allclose(a, [-16, -16, 16, 16], atol=1e-5)
+        # ratio 0.5 => wider than tall, w/h = sqrt(2)/sqrt(0.5) = 2
+        a05 = anchors[0][0]
+        w = a05[2] - a05[0]
+        h = a05[3] - a05[1]
+        np.testing.assert_allclose(w / h, 2.0, atol=1e-4)
+        np.testing.assert_allclose(w * h, 32 * 32, rtol=1e-4)
+        # second grid cell shifts by stride in x
+        np.testing.assert_allclose(anchors[0][3 + 1] - anchors[0][1],
+                                   [4, 0, 4, 0], atol=1e-5)
+
+    def test_valid_flags(self):
+        gen = AnchorGenerator(strides=[4], ratios=[1.0], scales=[8])
+        flags = gen.valid_flags([(4, 4)], (9, 16))
+        f = flags[0].reshape(4, 4)
+        assert f[:3].all() and not f[3].any()
+
+
+class TestAssigner:
+    def test_basic_assignment(self):
+        # anchors: 3; gts: 2
+        ious = jnp.array([
+            [0.8, 0.2, 0.0],
+            [0.1, 0.5, 0.25],
+        ])
+        gt_valid = jnp.array([True, True])
+        assigned, mo = max_iou_assign(ious, gt_valid, pos_iou_thr=0.7,
+                                      neg_iou_thr=0.3, min_pos_iou=0.3)
+        a = np.asarray(assigned)
+        assert a[0] == 1            # iou 0.8 >= 0.7 -> gt 1
+        assert a[1] == 2            # low-quality: best anchor of gt 2 (0.5 >= 0.3)
+        assert a[2] == 0            # 0.25 < 0.3 -> negative
+
+    def test_padded_gts_ignored(self):
+        ious = jnp.array([
+            [0.9, 0.9, 0.9],
+            [0.95, 0.95, 0.95],
+        ])
+        gt_valid = jnp.array([True, False])
+        assigned, _ = max_iou_assign(ious, gt_valid, 0.7, 0.3, 0.3)
+        assert (np.asarray(assigned) == 1).all()
+
+    def test_no_low_quality(self):
+        ious = jnp.array([[0.5, 0.1]])
+        assigned, _ = max_iou_assign(ious, jnp.array([True]), 0.7, 0.3, 0.3,
+                                     match_low_quality=False)
+        assert np.asarray(assigned)[0] == -1   # 0.3 <= 0.5 < 0.7: neither pos nor neg
+        assert np.asarray(assigned)[1] == 0
+
+
+class TestSampler:
+    def test_counts(self):
+        N = 1000
+        assigned = jnp.asarray(
+            np.concatenate([np.ones(300, np.int32), np.zeros(700, np.int32)]))
+        r = random_sample(jax.random.PRNGKey(0), assigned, num=256, pos_fraction=0.5)
+        n_pos = int(r.pos_mask.sum())
+        n_neg = int(r.neg_mask.sum())
+        assert n_pos == 128          # 300 available, capped at 128
+        assert n_neg == 128          # fills to 256
+        assert (np.asarray(assigned)[np.asarray(r.pos_inds)][np.asarray(r.pos_mask)] > 0).all()
+        assert (np.asarray(assigned)[np.asarray(r.neg_inds)][np.asarray(r.neg_mask)] == 0).all()
+
+    def test_few_positives(self):
+        assigned = jnp.asarray(np.concatenate([np.ones(5, np.int32) * 2,
+                                               np.zeros(995, np.int32)]))
+        r = random_sample(jax.random.PRNGKey(1), assigned, num=256, pos_fraction=0.25)
+        assert int(r.pos_mask.sum()) == 5
+        assert int(r.neg_mask.sum()) == 251
+
+
+def np_greedy_nms(boxes, scores, thr):
+    order = np.argsort(-scores)
+    keep = []
+    sup = np.zeros(len(boxes), bool)
+    for i in order:
+        if sup[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if not sup[j] and j != i:
+                xx1 = max(boxes[i, 0], boxes[j, 0]); yy1 = max(boxes[i, 1], boxes[j, 1])
+                xx2 = min(boxes[i, 2], boxes[j, 2]); yy2 = min(boxes[i, 3], boxes[j, 3])
+                inter = max(0, xx2 - xx1) * max(0, yy2 - yy1)
+                a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+                b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+                if inter / max(a + b - inter, 1e-6) > thr:
+                    sup[j] = True
+    return keep
+
+
+class TestNMS:
+    def test_vs_numpy_greedy(self, rng):
+        N = 100
+        boxes = rng.random((N, 4)).astype(np.float32) * 50
+        boxes[:, 2:] = boxes[:, :2] + 5 + boxes[:, 2:] * 0.5
+        scores = rng.random(N).astype(np.float32)
+        ref = np_greedy_nms(boxes, scores, 0.5)
+        r = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_out=N)
+        got = np.asarray(r.idx)[np.asarray(r.mask)]
+        assert list(got) == ref
+
+    def test_batched_separates_classes(self):
+        boxes = jnp.array([[0., 0., 10., 10.], [0., 0., 10., 10.]])
+        scores = jnp.array([0.9, 0.8])
+        idxs = jnp.array([0, 1])
+        r = batched_nms(boxes, scores, idxs, 0.5, 2)
+        assert int(r.mask.sum()) == 2    # identical boxes, different classes survive
+
+    def test_multiclass(self, rng):
+        N, C = 50, 3
+        boxes = rng.random((N, 4)).astype(np.float32) * 40
+        boxes[:, 2:] = boxes[:, :2] + 5
+        scores = rng.random((N, C + 1)).astype(np.float32)
+        r = multiclass_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                           score_thr=0.5, iou_threshold=0.5, max_per_img=20)
+        m = np.asarray(r.mask)
+        assert m.sum() > 0
+        assert (np.asarray(r.scores)[m] > 0.5).all()
+        assert set(np.asarray(r.labels)[m]).issubset({0, 1, 2})
+
+
+class TestRoIAlign:
+    def test_constant_map(self):
+        feats = jnp.ones((2, 16, 16, 3)) * 7.0
+        rois = jnp.array([[0., 2., 2., 10., 10.], [1., 0., 0., 16., 16.]])
+        out = roi_align(feats, rois, out_size=7, spatial_scale=1.0)
+        assert out.shape == (2, 7, 7, 3)
+        np.testing.assert_allclose(np.asarray(out), 7.0, atol=1e-5)
+
+    def test_linear_ramp(self):
+        # f(x, y) = x: each output bin = x coordinate of its center (aligned)
+        H = W = 32
+        xs = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :], (H, W))
+        feats = xs[None, ..., None]
+        rois = jnp.array([[0., 4., 4., 18., 18.]])
+        out = np.asarray(roi_align(feats, rois, out_size=7, spatial_scale=1.0))[0, :, :, 0]
+        bin_w = 14.0 / 7
+        centers = 4 - 0.5 + bin_w * (np.arange(7) + 0.5)
+        np.testing.assert_allclose(out[3], centers, atol=1e-4)
+
+    def test_batch_routing(self):
+        feats = jnp.stack([jnp.zeros((8, 8, 1)), jnp.ones((8, 8, 1))])
+        rois = jnp.array([[1., 1., 1., 7., 7.]])
+        out = roi_align(feats, rois, out_size=2)
+        np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
+    def test_grad(self):
+        feats = jnp.ones((1, 8, 8, 2))
+        rois = jnp.array([[0., 1., 1., 6., 6.]])
+        g = jax.grad(lambda f: roi_align(f, rois, out_size=2).sum())(feats)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+
+class TestLosses:
+    def test_ce_matches_manual(self, rng):
+        logits = jnp.asarray(rng.normal(size=(10, 5)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 5, 10))
+        l = float(losses.cross_entropy(logits, labels))
+        p = jax.nn.log_softmax(logits)
+        manual = -np.asarray(p)[np.arange(10), np.asarray(labels)].mean()
+        np.testing.assert_allclose(l, manual, rtol=1e-5)
+
+    def test_smooth_l1(self):
+        pred = jnp.array([0.0, 2.0])
+        tgt = jnp.array([0.5, 0.0])
+        l = float(losses.smooth_l1_loss(pred, tgt, beta=1.0))
+        np.testing.assert_allclose(l, (0.5 * 0.25 + 1.5) / 2, rtol=1e-6)
+
+    def test_giou_identical_boxes(self):
+        b = jnp.array([[0., 0., 10., 10.]])
+        assert float(losses.giou_loss(b, b)) < 1e-5
+
+    def test_focal_reduces_easy(self):
+        logits = jnp.array([[10.0], [0.0]])
+        labels = jnp.array([0, 0])
+        l_easy = float(losses.sigmoid_focal_loss(logits[:1], labels[:1], 1))
+        l_hard = float(losses.sigmoid_focal_loss(logits[1:], labels[1:], 1))
+        assert l_easy < l_hard
