@@ -36,14 +36,17 @@ def delta_encode(proposals: jnp.ndarray, gt: jnp.ndarray,
                  means: Sequence[float] = (0., 0., 0., 0.),
                  stds: Sequence[float] = (1., 1., 1., 1.)) -> jnp.ndarray:
     """xyxy boxes -> normalized (dx, dy, dw, dh) deltas (`bbox2delta:88`)."""
+    # eps guards keep padded/degenerate boxes finite (their loss rows are
+    # masked, but inf/nan would still poison gradients through 0*inf)
+    eps = 1e-6
     px = (proposals[..., 0] + proposals[..., 2]) * 0.5
     py = (proposals[..., 1] + proposals[..., 3]) * 0.5
-    pw = proposals[..., 2] - proposals[..., 0]
-    ph = proposals[..., 3] - proposals[..., 1]
+    pw = jnp.maximum(proposals[..., 2] - proposals[..., 0], eps)
+    ph = jnp.maximum(proposals[..., 3] - proposals[..., 1], eps)
     gx = (gt[..., 0] + gt[..., 2]) * 0.5
     gy = (gt[..., 1] + gt[..., 3]) * 0.5
-    gw = gt[..., 2] - gt[..., 0]
-    gh = gt[..., 3] - gt[..., 1]
+    gw = jnp.maximum(gt[..., 2] - gt[..., 0], eps)
+    gh = jnp.maximum(gt[..., 3] - gt[..., 1], eps)
     d = jnp.stack([(gx - px) / pw, (gy - py) / ph,
                    jnp.log(gw / pw), jnp.log(gh / ph)], axis=-1)
     means = jnp.asarray(means, d.dtype)

@@ -2,5 +2,10 @@
 
 from .registry import BACKBONES, NECKS, HEADS, DETECTORS, LOSSES, build, register
 from . import panoswin  # noqa: F401  (registers PanoSwinTransformer)
+from . import swin  # noqa: F401
+from . import fpn  # noqa: F401
+from . import rpn_head  # noqa: F401
+from . import roi_head  # noqa: F401
+from . import detectors  # noqa: F401
 
 __all__ = ["BACKBONES", "NECKS", "HEADS", "DETECTORS", "LOSSES", "build", "register"]

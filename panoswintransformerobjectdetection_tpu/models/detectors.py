@@ -1,0 +1,172 @@
+"""Two-stage detectors: Faster R-CNN family, pano variant.
+
+Covers the reference's `TwoStageDetector` (`two_stage.py`), `FasterRCNN`
+(`faster_rcnn.py`) and `PanoFasterRCNN` (`panofaster_rcnn.py:8`).  A single
+flax module orchestrates backbone -> FPN -> RPN -> RoI head with three
+entry methods:
+
+  __call__       : init/trace path touching every submodule's params
+  forward_train  : batched losses dict (`forward_train:61` analogue)
+  simple_test    : batched padded detections (`simple_test:169` analogue)
+
+All batch logic is fixed-shape + vmapped; the sampler randomness comes from
+the flax 'sampler' rng stream.
+"""
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..core.anchors import AnchorGenerator
+from .registry import BACKBONES, NECKS, DETECTORS, build
+from .rpn_head import RPNHead, rpn_loss, rpn_proposals, Proposals
+from .roi_head import (
+    Shared2FCBBoxHead, multilevel_roi_align, sample_rois_for_training,
+    bbox_head_loss, bbox_head_detections,
+)
+
+
+def default_train_cfg() -> dict:
+    """`configs/_base_/models/faster_rcnn_panoswin_fpn.py:64-101`."""
+    return {
+        "rpn": {"pos_iou_thr": 0.7, "neg_iou_thr": 0.3, "min_pos_iou": 0.3,
+                "num_samples": 256, "pos_fraction": 0.5},
+        "rpn_proposal": {"nms_pre": 2000, "max_per_img": 1000,
+                         "iou_threshold": 0.7, "min_bbox_size": 0},
+        "rcnn": {"pos_iou_thr": 0.5, "neg_iou_thr": 0.5, "min_pos_iou": 0.5,
+                 "num_samples": 512, "pos_fraction": 0.25},
+    }
+
+
+def default_test_cfg() -> dict:
+    """`configs/_base_/models/faster_rcnn_panoswin_fpn.py:102-115`."""
+    return {
+        "rpn": {"nms_pre": 1000, "max_per_img": 1000, "iou_threshold": 0.7,
+                "min_bbox_size": 0},
+        "rcnn": {"score_thr": 0.05, "iou_threshold": 0.5, "max_per_img": 100},
+    }
+
+
+@DETECTORS.register
+class TwoStageDetector(nn.Module):
+    backbone: Any                    # config dict with 'type'
+    num_classes: int = 80
+    neck: Optional[Any] = None       # config dict; default FPN
+    anchor_scales: Tuple[float, ...] = (8.0,)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    rpn_target_stds: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    rcnn_target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
+
+    def setup(self):
+        self.backbone_m = build(BACKBONES, self.backbone)
+        neck_cfg = self.neck or {"type": "FPN",
+                                 "in_channels": (96, 192, 384, 768),
+                                 "out_channels": 256, "num_outs": 5}
+        self.neck_m = build(NECKS, neck_cfg)
+        self.rpn_m = RPNHead(
+            num_anchors=len(self.anchor_scales) * len(self.anchor_ratios))
+        self.bbox_head_m = Shared2FCBBoxHead(num_classes=self.num_classes)
+        self.anchor_gen = AnchorGenerator(
+            strides=self.anchor_strides, ratios=self.anchor_ratios,
+            scales=self.anchor_scales)
+
+    # ---------------------------------------------------------------- utils
+    def extract_feat(self, images, train=False):
+        feats = self.backbone_m(images, train=train)
+        return self.neck_m(feats)
+
+    def _anchors(self, cls_scores):
+        sizes = [tuple(c.shape[1:3]) for c in cls_scores]
+        per_level = [jnp.asarray(a) for a in self.anchor_gen.grid_anchors(sizes)]
+        return per_level, jnp.concatenate(per_level, axis=0)
+
+    # ----------------------------------------------------------- init trace
+    def __call__(self, images, train: bool = False):
+        """Touches every parameter (used for init and compile checks)."""
+        feats = self.extract_feat(images, train=train)
+        cls_scores, bbox_preds = self.rpn_m(feats)
+        B = images.shape[0]
+        dummy_rois = jnp.tile(
+            jnp.array([[0.0, 0.0, 0.0, 32.0, 32.0]], images.dtype), (B, 1))
+        dummy_rois = dummy_rois.at[:, 0].set(jnp.arange(B, dtype=images.dtype))
+        roi_feats = multilevel_roi_align(feats[:4], dummy_rois,
+                                         strides=self.featmap_strides)
+        cls, reg = self.bbox_head_m(roi_feats)
+        return feats, (cls_scores, bbox_preds), (cls, reg)
+
+    # -------------------------------------------------------------- training
+    def forward_train(self, images, img_shapes, gt_boxes, gt_labels,
+                      gt_valid) -> Dict[str, jnp.ndarray]:
+        """images: (B, H, W, 3); img_shapes: (B, 2) unpadded (h, w);
+        gt_boxes: (B, G, 4) xyxy; gt_labels: (B, G); gt_valid: (B, G)."""
+        tc = self.train_cfg or default_train_cfg()
+        feats = self.extract_feat(images, train=True)
+        cls_scores, bbox_preds = self.rpn_m(feats)
+        level_anchors, anchors = self._anchors(cls_scores)
+
+        rng = self.make_rng("sampler")
+        rng_rpn, rng_rcnn = jax.random.split(rng)
+
+        losses_out = rpn_loss(cls_scores, bbox_preds, anchors, gt_boxes,
+                              gt_valid, rng_rpn,
+                              target_stds=self.rpn_target_stds, **tc["rpn"])
+
+        # proposals are constants for the RoI stage: RPN receives gradient
+        # only through rpn_loss (mmdet semantics — roi coords are
+        # non-differentiable in the CUDA RoIAlign, targets built in no_grad)
+        props = jax.tree_util.tree_map(
+            jax.lax.stop_gradient,
+            rpn_proposals(cls_scores, bbox_preds, level_anchors,
+                          img_shapes, target_stds=self.rpn_target_stds,
+                          **tc["rpn_proposal"]))
+
+        samples = sample_rois_for_training(
+            rng_rcnn, props.boxes, props.mask, gt_boxes, gt_labels, gt_valid,
+            self.num_classes, target_stds=self.rcnn_target_stds, **tc["rcnn"])
+
+        B, S, _ = samples.rois.shape
+        flat_rois = samples.rois.reshape(B * S, 5)
+        roi_feats = multilevel_roi_align(feats[:4], flat_rois,
+                                         strides=self.featmap_strides)
+        cls, reg = self.bbox_head_m(roi_feats)
+        losses_out.update(bbox_head_loss(cls, reg, samples, self.num_classes))
+        return losses_out
+
+    # -------------------------------------------------------------- testing
+    def simple_test(self, images, img_shapes, scale_factors=None):
+        """Returns DetResult batch: boxes (B, K, 4), scores, labels, mask.
+
+        scale_factors: (B, 4) resize factors; boxes are divided by them to
+        land in original-image coordinates (mmdet `rescale=True`).
+        """
+        cfg = self.test_cfg or default_test_cfg()
+        feats = self.extract_feat(images, train=False)
+        cls_scores, bbox_preds = self.rpn_m(feats)
+        level_anchors, _ = self._anchors(cls_scores)
+        props = rpn_proposals(cls_scores, bbox_preds, level_anchors,
+                              img_shapes, target_stds=self.rpn_target_stds,
+                              **cfg["rpn"])
+        B, P, _ = props.boxes.shape
+        bidx = jnp.broadcast_to(jnp.arange(B, dtype=images.dtype)[:, None], (B, P))
+        rois = jnp.concatenate([bidx[..., None], props.boxes], axis=-1)
+        roi_feats = multilevel_roi_align(feats[:4], rois.reshape(B * P, 5),
+                                         strides=self.featmap_strides)
+        cls, reg = self.bbox_head_m(roi_feats)
+        return bbox_head_detections(
+            cls.reshape(B, P, -1), reg.reshape(B, P, -1), rois, img_shapes,
+            self.num_classes, target_stds=self.rcnn_target_stds,
+            roi_mask=props.mask, scale_factors=scale_factors, **cfg["rcnn"])
+
+
+# Registry aliases matching the reference's detector type names.
+DETECTORS.register(TwoStageDetector, name="FasterRCNN")
+# `PanoFasterRCNN` (`panofaster_rcnn.py:8`) only differs by threading
+# pano_ratio_v into the backbone; the TPU backbone owns its uv generation,
+# so the orchestration is identical.
+DETECTORS.register(TwoStageDetector, name="PanoFasterRCNN")

@@ -1,0 +1,68 @@
+"""Feature Pyramid Network (`mmdet/models/necks/fpn.py:12` semantics).
+
+Lateral 1x1 convs -> top-down nearest upsample + add -> 3x3 output convs;
+extra pyramid levels from stride-2 max-pooling of the last output (the
+Faster R-CNN `num_outs=5`, `add_extra_convs=False` configuration).  NHWC.
+Nearest upsampling uses floor-index gather to match
+`F.interpolate(mode='nearest')` exactly.
+"""
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .registry import NECKS
+
+
+def nearest_upsample(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """(B, h, w, C) -> (B, out_h, out_w, C), torch-nearest index mapping."""
+    B, h, w, C = x.shape
+    iy = (jnp.arange(out_h) * h) // out_h
+    ix = (jnp.arange(out_w) * w) // out_w
+    return x[:, iy][:, :, ix]
+
+
+def max_pool_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """1x1 kernel stride-2 max pool (mmdet uses F.max_pool2d(x, 1, stride=2))."""
+    return x[:, ::2, ::2, :]
+
+
+@NECKS.register
+class FPN(nn.Module):
+    in_channels: Sequence[int] = (96, 192, 384, 768)
+    out_channels: int = 256
+    num_outs: int = 5
+    start_level: int = 0
+    add_extra_convs: bool = False
+    relu_before_extra_convs: bool = False
+
+    @nn.compact
+    def __call__(self, feats):
+        """feats: tuple of NHWC maps, len == len(in_channels)."""
+        assert len(feats) == len(self.in_channels)
+        used = feats[self.start_level:]
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), name=f"lateral_{i}")(f)
+            for i, f in enumerate(used)
+        ]
+        for i in range(len(laterals) - 1, 0, -1):
+            h, w = laterals[i - 1].shape[1:3]
+            laterals[i - 1] = laterals[i - 1] + nearest_upsample(laterals[i], h, w)
+        outs = [
+            nn.Conv(self.out_channels, (3, 3), padding=1, name=f"fpn_{i}")(l)
+            for i, l in enumerate(laterals)
+        ]
+        if self.num_outs > len(outs):
+            if not self.add_extra_convs:
+                for _ in range(self.num_outs - len(outs)):
+                    outs.append(max_pool_s2(outs[-1]))
+            else:
+                extra_src = used[-1]
+                for i in range(self.num_outs - len(outs)):
+                    src = outs[-1] if i > 0 else extra_src
+                    if self.relu_before_extra_convs and i > 0:
+                        src = nn.relu(src)
+                    outs.append(nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                                        padding=1, name=f"extra_{i}")(src))
+        return tuple(outs)

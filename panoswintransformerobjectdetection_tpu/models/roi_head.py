@@ -1,0 +1,177 @@
+"""RoI head: FPN-level routing RoIAlign extractor + Shared2FC bbox head +
+fixed-shape train/test logic.
+
+Covers the reference's `StandardRoIHead` (`standard_roi_head.py:10`),
+`SingleRoIExtractor` (`single_level_roi_extractor.py:9`) and
+`Shared2FCBBoxHead` (`convfc_bbox_head.py:177`).  Level routing:
+lvl = floor(log2(sqrt(area) / finest_scale + 1e-6)), clamped — computed for
+all RoIs at once; RoIAlign runs on every level and a one-hot select keeps
+static shapes (4x gather work instead of dynamic partitions — the TPU
+tradeoff).
+"""
+
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..core.bbox import bbox_overlaps, delta_encode, delta_decode
+from ..core.assigner import max_iou_assign
+from ..core.sampler import random_sample
+from ..core import losses
+from ..ops.roi_align import roi_align
+from ..ops.nms import multiclass_nms, DetResult
+from .layers import trunc_init
+from .registry import HEADS
+
+
+def multilevel_roi_align(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
+                         strides: Sequence[int] = (4, 8, 16, 32),
+                         out_size: int = 7, finest_scale: int = 56,
+                         sampling_ratio: int = 2) -> jnp.ndarray:
+    """rois: (R, 5) (batch, x1, y1, x2, y2) image coords -> (R, o, o, C)."""
+    w = rois[:, 3] - rois[:, 1]
+    h = rois[:, 4] - rois[:, 2]
+    scale = jnp.sqrt(jnp.clip(w * h, 0.0, None))
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6)).astype(jnp.int32)
+    lvl = jnp.clip(lvl, 0, len(strides) - 1)
+
+    out = 0.0
+    for i, s in enumerate(strides):
+        o = roi_align(feats[i], rois, out_size=out_size,
+                      spatial_scale=1.0 / s, sampling_ratio=sampling_ratio)
+        out = out + jnp.where((lvl == i)[:, None, None, None], o, 0.0)
+    return out
+
+
+@HEADS.register
+class Shared2FCBBoxHead(nn.Module):
+    """flatten -> fc(1024) -> relu -> fc(1024) -> relu -> {cls, reg}."""
+    num_classes: int = 80
+    fc_out_channels: int = 1024
+    reg_class_agnostic: bool = False
+
+    @nn.compact
+    def __call__(self, roi_feats: jnp.ndarray):
+        """roi_feats: (R, o, o, C) -> (cls (R, C+1), reg (R, 4C or 4))."""
+        x = roi_feats.reshape(roi_feats.shape[0], -1)
+        x = nn.relu(nn.Dense(self.fc_out_channels, kernel_init=trunc_init,
+                             name="shared_fc0")(x))
+        x = nn.relu(nn.Dense(self.fc_out_channels, kernel_init=trunc_init,
+                             name="shared_fc1")(x))
+        cls = nn.Dense(self.num_classes + 1, kernel_init=trunc_init, name="fc_cls")(x)
+        reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        reg = nn.Dense(reg_dim, kernel_init=trunc_init, name="fc_reg")(x)
+        return cls, reg
+
+
+class RoISamples(NamedTuple):
+    rois: jnp.ndarray          # (B, S, 5) sampled rois (batch idx in col 0)
+    labels: jnp.ndarray        # (B, S) int — class or num_classes for bg
+    label_weights: jnp.ndarray # (B, S)
+    bbox_targets: jnp.ndarray  # (B, S, 4)
+    bbox_weights: jnp.ndarray  # (B, S)
+
+
+def sample_rois_for_training(rng, proposals, prop_mask, gt_boxes, gt_labels,
+                             gt_valid, num_classes,
+                             *, pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=0.5,
+                             num_samples=512, pos_fraction=0.25,
+                             target_means=(0., 0., 0., 0.),
+                             target_stds=(0.1, 0.1, 0.2, 0.2)) -> RoISamples:
+    """Assign + sample RCNN rois per image (gt boxes appended as proposals,
+    `RandomSampler add_gt_as_proposals`).  Fixed output: pos_cap + num slots.
+    """
+    B, P, _ = proposals.shape
+    G = gt_boxes.shape[1]
+    pos_cap = int(num_samples * pos_fraction)
+
+    def single(rng_i, props, pmask, gts, glabels, gvalid, bidx):
+        cand = jnp.concatenate([gts, props], axis=0)           # (G+P, 4)
+        cand_valid = jnp.concatenate([gvalid, pmask], axis=0)
+        ious = bbox_overlaps(gts, cand)                        # (G, G+P)
+        ious = jnp.where(cand_valid[None, :], ious, -1.0)
+        assigned, _ = max_iou_assign(ious, gvalid, pos_iou_thr, neg_iou_thr,
+                                     min_pos_iou, match_low_quality=False)
+        assigned = jnp.where(cand_valid, assigned, -1)
+        s = random_sample(rng_i, assigned, num_samples, pos_fraction)
+
+        inds = jnp.concatenate([s.pos_inds, s.neg_inds])       # (pos_cap+num,)
+        pos_m = jnp.concatenate([s.pos_mask, jnp.zeros_like(s.neg_mask)])
+        sel_m = jnp.concatenate([s.pos_mask, s.neg_mask])
+
+        boxes = cand[inds]
+        a = assigned[inds]
+        gt_idx = jnp.clip(a - 1, 0)
+        labels = jnp.where(pos_m, glabels[gt_idx], num_classes)
+        targets = jax.lax.stop_gradient(
+            delta_encode(boxes, gts[gt_idx], target_means, target_stds))
+        targets = jnp.where(pos_m[:, None], targets, 0.0)
+        rois = jnp.concatenate(
+            [jnp.full((boxes.shape[0], 1), bidx, boxes.dtype), boxes], axis=1)
+        return rois, labels, sel_m.astype(jnp.float32), targets, pos_m.astype(jnp.float32)
+
+    rngs = jax.random.split(rng, B)
+    bidx = jnp.arange(B, dtype=proposals.dtype)
+    rois, labels, lw, bt, bw = jax.vmap(single)(
+        rngs, proposals, prop_mask, gt_boxes, gt_labels, gt_valid, bidx)
+    return RoISamples(rois, labels, lw, bt, bw)
+
+
+def bbox_head_loss(cls_logits, bbox_pred, samples: RoISamples, num_classes,
+                   reg_class_agnostic=False) -> Dict[str, jnp.ndarray]:
+    """Softmax CE + L1 on positive rows (`bbox_head.py` loss semantics)."""
+    B, S = samples.labels.shape
+    cls_logits = cls_logits.reshape(B, S, -1)
+    bbox_pred = bbox_pred.reshape(B, S, -1)
+    num_sampled = samples.label_weights.sum()
+
+    loss_cls = losses.cross_entropy(cls_logits, samples.labels,
+                                    weight=samples.label_weights,
+                                    avg_factor=num_sampled)
+    acc = losses.accuracy(cls_logits, samples.labels, samples.label_weights)
+
+    if reg_class_agnostic:
+        pred = bbox_pred
+    else:
+        lab = jnp.clip(samples.labels, 0, num_classes - 1)
+        pred = bbox_pred.reshape(B, S, num_classes, 4)
+        pred = jnp.take_along_axis(pred, lab[..., None, None].repeat(4, -1),
+                                   axis=2)[:, :, 0]
+    loss_bbox = losses.l1_loss(pred, samples.bbox_targets,
+                               weight=samples.bbox_weights[..., None],
+                               avg_factor=num_sampled)
+    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox, "acc": acc}
+
+
+def bbox_head_detections(cls_logits, bbox_pred, rois, img_shapes, num_classes,
+                         *, score_thr=0.05, iou_threshold=0.5, max_per_img=100,
+                         target_means=(0., 0., 0., 0.),
+                         target_stds=(0.1, 0.1, 0.2, 0.2),
+                         roi_mask=None, scale_factors=None) -> DetResult:
+    """Decode per-class boxes and run multiclass NMS per image
+    (`bbox_head.py get_bboxes` + `multiclass_nms`).
+
+    cls_logits: (B, P, C+1); bbox_pred: (B, P, 4C); rois: (B, P, 5).
+    scale_factors: (B, 4) to rescale boxes back to original image coords.
+    """
+    B, P, _ = cls_logits.shape
+    scores = jax.nn.softmax(cls_logits, axis=-1)
+    boxes = delta_decode(rois[..., 1:5], bbox_pred, target_means, target_stds)
+    h = img_shapes[:, 0][:, None, None]
+    w = img_shapes[:, 1][:, None, None]
+    x = jnp.clip(boxes[..., 0::2], 0, w)
+    y = jnp.clip(boxes[..., 1::2], 0, h)
+    boxes = jnp.stack([x[..., 0], y[..., 0], x[..., 1], y[..., 1]], -1)
+    boxes = boxes.reshape(B, P, -1)
+    if scale_factors is not None:
+        k = boxes.shape[-1] // 4
+        boxes = boxes / jnp.tile(scale_factors, (1, k))[:, None, :]
+
+    def single(b, s, m):
+        return multiclass_nms(b, s, score_thr, iou_threshold, max_per_img,
+                              valid=m)
+
+    mask = roi_mask if roi_mask is not None else jnp.ones((B, P), bool)
+    return jax.vmap(single)(boxes, scores, mask)

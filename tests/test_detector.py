@@ -1,0 +1,139 @@
+"""End-to-end detector tests: tiny PanoFasterRCNN train/test forward.
+
+Analogue of the reference's primary integration test
+(`tests/test_models/test_forward.py`): build from config, run
+forward_train on random images + random GT, run simple_test.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from panoswintransformerobjectdetection_tpu.models import DETECTORS, build
+from panoswintransformerobjectdetection_tpu.models.fpn import FPN, nearest_upsample
+
+
+def tiny_detector(num_classes=5, pano=True):
+    return build(DETECTORS, {
+        "type": "PanoFasterRCNN",
+        "backbone": {"type": "PanoSwinTransformer", "embed_dim": 6,
+                     "depths": (1, 1, 1, 1), "num_heads": (1, 1, 1, 2),
+                     "window_size": 4, "ape": True, "pano_mode": pano,
+                     "drop_path_rate": 0.0},
+        "neck": {"type": "FPN", "in_channels": (6, 12, 24, 48),
+                 "out_channels": 16, "num_outs": 5},
+        "num_classes": num_classes,
+        "train_cfg": {
+            "rpn": {"pos_iou_thr": 0.7, "neg_iou_thr": 0.3, "min_pos_iou": 0.3,
+                    "num_samples": 64, "pos_fraction": 0.5},
+            "rpn_proposal": {"nms_pre": 100, "max_per_img": 32,
+                             "iou_threshold": 0.7, "min_bbox_size": 0},
+            "rcnn": {"pos_iou_thr": 0.5, "neg_iou_thr": 0.5, "min_pos_iou": 0.5,
+                     "num_samples": 32, "pos_fraction": 0.25},
+        },
+        "test_cfg": {
+            "rpn": {"nms_pre": 50, "max_per_img": 16, "iou_threshold": 0.7,
+                    "min_bbox_size": 0},
+            "rcnn": {"score_thr": 0.05, "iou_threshold": 0.5, "max_per_img": 8},
+        },
+    })
+
+
+@pytest.fixture(scope="module")
+def det_and_vars():
+    det = tiny_detector()
+    imgs = jnp.zeros((2, 64, 128, 3), jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), imgs)
+    return det, variables
+
+
+def _random_gt(rng, B, G, h, w, num_classes):
+    boxes = rng.random((B, G, 4)).astype(np.float32)
+    boxes = np.stack([boxes[..., 0] * w * 0.5, boxes[..., 1] * h * 0.5,
+                      boxes[..., 0] * w * 0.5 + 5 + boxes[..., 2] * w * 0.3,
+                      boxes[..., 1] * h * 0.5 + 5 + boxes[..., 3] * h * 0.3], -1)
+    labels = rng.integers(0, num_classes, (B, G))
+    valid = np.ones((B, G), bool)
+    valid[:, -1] = False  # exercise gt padding
+    return jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(valid)
+
+
+class TestDetector:
+    def test_init_param_tree(self, det_and_vars):
+        det, variables = det_and_vars
+        assert "params" in variables and "batch_stats" in variables
+        p = variables["params"]
+        assert "backbone_m" in p and "neck_m" in p and "rpn_m" in p and "bbox_head_m" in p
+
+    def test_forward_train_losses(self, det_and_vars, rng):
+        det, variables = det_and_vars
+        imgs = jnp.asarray(rng.random((2, 64, 128, 3)).astype(np.float32))
+        shapes = jnp.array([[64, 128], [60, 120]], jnp.float32)
+        gtb, gtl, gtv = _random_gt(rng, 2, 4, 64, 128, 5)
+        losses, updates = det.apply(
+            variables, imgs, shapes, gtb, gtl, gtv,
+            method=det.forward_train,
+            rngs={"sampler": jax.random.PRNGKey(1), "droppath": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"])
+        for k in ["loss_rpn_cls", "loss_rpn_bbox", "loss_cls", "loss_bbox", "acc"]:
+            assert k in losses, losses.keys()
+            assert np.isfinite(float(losses[k])), (k, losses[k])
+        assert float(losses["loss_cls"]) > 0
+
+    def test_simple_test_shapes(self, det_and_vars, rng):
+        det, variables = det_and_vars
+        imgs = jnp.asarray(rng.random((2, 64, 128, 3)).astype(np.float32))
+        shapes = jnp.array([[64, 128], [64, 128]], jnp.float32)
+        sf = jnp.ones((2, 4), jnp.float32)
+        res = det.apply(variables, imgs, shapes, sf, method=det.simple_test)
+        assert res.boxes.shape == (2, 8, 4)
+        assert res.scores.shape == (2, 8)
+        assert res.labels.shape == (2, 8)
+        m = np.asarray(res.mask)
+        if m.any():
+            b = np.asarray(res.boxes)[m]
+            assert (b[:, 2] >= b[:, 0]).all() and (b[:, 3] >= b[:, 1]).all()
+
+    def test_train_step_grads(self, det_and_vars, rng):
+        det, variables = det_and_vars
+        imgs = jnp.asarray(rng.random((2, 64, 128, 3)).astype(np.float32))
+        shapes = jnp.array([[64, 128], [64, 128]], jnp.float32)
+        gtb, gtl, gtv = _random_gt(rng, 2, 4, 64, 128, 5)
+
+        def loss_fn(params):
+            out, _ = det.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                imgs, shapes, gtb, gtl, gtv, method=det.forward_train,
+                rngs={"sampler": jax.random.PRNGKey(3),
+                      "droppath": jax.random.PRNGKey(4)},
+                mutable=["batch_stats"])
+            return sum(v for k, v in out.items() if "loss" in k)
+
+        g = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        total = sum(float(jnp.abs(l).sum()) for l in leaves)
+        assert total > 0
+
+
+class TestFPN:
+    def test_shapes(self, rng):
+        fpn = FPN(in_channels=(8, 16, 32, 64), out_channels=24, num_outs=5)
+        feats = tuple(
+            jnp.asarray(rng.random((1, 32 // 2**i, 64 // 2**i, c)).astype(np.float32))
+            for i, c in enumerate((8, 16, 32, 64)))
+        vars_ = fpn.init(jax.random.PRNGKey(0), feats)
+        outs = fpn.apply(vars_, feats)
+        assert len(outs) == 5
+        assert outs[0].shape == (1, 32, 64, 24)
+        assert outs[4].shape == (1, 2, 4, 24)
+
+    def test_nearest_matches_torch(self, rng):
+        import torch
+        import torch.nn.functional as F
+        x = rng.random((1, 3, 5, 2)).astype(np.float32)   # b h w c
+        ref = F.interpolate(torch.tensor(np.moveaxis(x, -1, 1)), size=(6, 10),
+                            mode="nearest").numpy()
+        ours = nearest_upsample(jnp.asarray(x), 6, 10)
+        np.testing.assert_allclose(np.moveaxis(np.asarray(ours), -1, 1), ref)
