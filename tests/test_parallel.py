@@ -1,0 +1,50 @@
+"""Multi-chip (virtual 8-device CPU mesh) SPMD tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+class TestMesh:
+    def test_eight_devices(self):
+        assert len(jax.devices()) == 8
+
+    def test_dryrun_multichip(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)
+
+    def test_shard_batch_placement(self):
+        from panoswintransformerobjectdetection_tpu.parallel import make_mesh, shard_batch
+        mesh = make_mesh()
+        batch = {"x": np.zeros((8, 4), np.float32)}
+        out = shard_batch(mesh, batch)
+        shards = out["x"].addressable_shards
+        assert len(shards) == 8
+        assert shards[0].data.shape == (1, 4)
+
+
+class TestOptim:
+    def test_no_decay_mask(self):
+        from panoswintransformerobjectdetection_tpu.runtime import no_decay_mask
+        params = {
+            "attn": {"qkv": {"kernel": np.zeros((4, 4)), "bias": np.zeros(4)},
+                     "alpha_table": np.zeros((9, 3))},
+            "norm1": {"ln": {"scale": np.zeros(4), "bias": np.zeros(4)}},
+        }
+        m = no_decay_mask(params)
+        assert m["attn"]["qkv"]["kernel"] is True
+        assert m["attn"]["qkv"]["bias"] is False
+        assert m["attn"]["alpha_table"] is False
+        assert m["norm1"]["ln"]["scale"] is False
+
+    def test_warmup_step_schedule(self):
+        from panoswintransformerobjectdetection_tpu.runtime import warmup_step_schedule
+        f = warmup_step_schedule(1.0, warmup_iters=10, warmup_ratio=0.1,
+                                 decay_steps=(100, 200))
+        assert abs(float(f(0)) - 0.1) < 1e-6
+        assert abs(float(f(10)) - 1.0) < 1e-6
+        assert abs(float(f(150)) - 0.1) < 1e-6
+        assert abs(float(f(250)) - 0.01) < 1e-6
