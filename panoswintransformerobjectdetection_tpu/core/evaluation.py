@@ -1,0 +1,132 @@
+"""Evaluation metrics: COCO-style mAP and VOC-style mean AP, pure numpy.
+
+Replaces the reference's COCOeval path (`street.py:354`, `coco.py:365`,
+backed by the mmpycocotools C extension) and `mean_ap.py`.  Matching
+follows COCOeval: detections sorted by score, each greedily matched to the
+unmatched gt with highest IoU >= threshold; AP is the 101-point
+interpolated precision integral, averaged over IoU thresholds .50:.05:.95.
+Runs on the host (metric code stays CPU — SURVEY.md 2.9).
+"""
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(aa[:, None] + ab[None, :] - inter, 1e-9)
+
+
+def _match_class(det_boxes, det_scores, gt_boxes, iou_thr, max_dets=100):
+    """Returns (tp flags, scores) for one image+class at one IoU threshold."""
+    order = np.argsort(-det_scores)[:max_dets]
+    det_boxes = det_boxes[order]
+    det_scores = det_scores[order]
+    iou = _iou_matrix(det_boxes, gt_boxes)
+    matched = np.zeros(len(gt_boxes), bool)
+    tp = np.zeros(len(det_boxes), bool)
+    for i in range(len(det_boxes)):
+        if iou.shape[1] == 0:
+            break
+        j = -1
+        best = iou_thr
+        for g in range(len(gt_boxes)):
+            if matched[g]:
+                continue
+            if iou[i, g] >= best:
+                best = iou[i, g]
+                j = g
+        if j >= 0:
+            matched[j] = True
+            tp[i] = True
+    return tp, det_scores
+
+
+def _average_precision(tp, scores, num_gt) -> float:
+    """101-point interpolated AP (COCOeval protocol)."""
+    if num_gt == 0:
+        return np.nan
+    if len(scores) == 0:
+        return 0.0
+    order = np.argsort(-scores)
+    tp = tp[order]
+    tp_cum = np.cumsum(tp)
+    fp_cum = np.cumsum(~tp)
+    recall = tp_cum / num_gt
+    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
+    # precision envelope
+    for i in range(len(precision) - 1, 0, -1):
+        precision[i - 1] = max(precision[i - 1], precision[i])
+    rec_thrs = np.linspace(0, 1, 101)
+    idx = np.searchsorted(recall, rec_thrs, side="left")
+    p = np.where(idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0)
+    return float(p.mean())
+
+
+def eval_map_coco(detections: List[dict], gts: List[dict], num_classes: int,
+                  iou_thrs: Optional[Sequence[float]] = None,
+                  max_dets: int = 100) -> Dict[str, float]:
+    """COCO-style mAP.
+
+    detections[i]: dict(boxes (K, 4), scores (K,), labels (K,)) — padded
+    entries may be filtered by a 'mask' key or negative labels.
+    gts[i]: dict(bboxes (G, 4), labels (G,)).
+    """
+    if iou_thrs is None:
+        iou_thrs = np.arange(0.5, 1.0, 0.05)
+    assert len(detections) == len(gts)
+
+    aps = np.full((len(iou_thrs), num_classes), np.nan)
+    for c in range(num_classes):
+        per_thr_tp = [[] for _ in iou_thrs]
+        per_thr_scores = [[] for _ in iou_thrs]
+        num_gt = 0
+        any_det = False
+        for det, gt in zip(detections, gts):
+            mask = det.get("mask")
+            boxes = np.asarray(det["boxes"], np.float32)
+            scores = np.asarray(det["scores"], np.float32)
+            labels = np.asarray(det["labels"])
+            if mask is not None:
+                m = np.asarray(mask, bool)
+                boxes, scores, labels = boxes[m], scores[m], labels[m]
+            sel = labels == c
+            db, ds = boxes[sel], scores[sel]
+            gsel = np.asarray(gt["labels"]) == c
+            gb = np.asarray(gt["bboxes"], np.float32)[gsel]
+            num_gt += len(gb)
+            if len(db):
+                any_det = True
+            for t, thr in enumerate(iou_thrs):
+                tp, sc = _match_class(db, ds, gb, thr, max_dets)
+                per_thr_tp[t].append(tp)
+                per_thr_scores[t].append(sc)
+        if num_gt == 0 and not any_det:
+            continue
+        for t in range(len(iou_thrs)):
+            tp = np.concatenate(per_thr_tp[t]) if per_thr_tp[t] else np.zeros(0, bool)
+            sc = np.concatenate(per_thr_scores[t]) if per_thr_scores[t] else np.zeros(0)
+            aps[t, c] = _average_precision(tp, sc, num_gt)
+
+    valid = ~np.isnan(aps)
+    mAP = float(np.nanmean(aps)) if valid.any() else 0.0
+    mAP50 = float(np.nanmean(aps[0])) if valid[0].any() else 0.0
+    i75 = int(round((0.75 - 0.5) / 0.05))
+    mAP75 = float(np.nanmean(aps[i75])) if valid[i75].any() else 0.0
+    return {"bbox_mAP": mAP, "bbox_mAP_50": mAP50, "bbox_mAP_75": mAP75}
+
+
+def eval_map_voc(detections: List[dict], gts: List[dict], num_classes: int,
+                 iou_thr: float = 0.5) -> Dict[str, float]:
+    """VOC-style mAP at a single IoU threshold (`mean_ap.py` area mode)."""
+    r = eval_map_coco(detections, gts, num_classes, iou_thrs=[iou_thr],
+                      max_dets=10000)
+    return {"mAP": r["bbox_mAP_50"] if iou_thr == 0.5 else r["bbox_mAP"]}

@@ -1,0 +1,20 @@
+"""Host-side data layer: datasets, pipeline transforms, batched loader.
+
+Redesign of `mmdet/datasets/`: numpy/cv2 pipeline on the host, static
+shape buckets so device-side jit caches stay bounded, gt padded to fixed
+counts with validity masks.
+"""
+
+from .transforms import (
+    LoadImageFromFile, LoadAnnotations, Resize, PanoResize, RandomFlip,
+    Normalize, Pad, PanoStretch, RollAug, PanoCheck, Compose,
+)
+from .datasets import CocoStyleDataset, CocoDataset, StreetDataset, Indoor360Dataset
+from .loader import DetDataLoader
+
+__all__ = [
+    "LoadImageFromFile", "LoadAnnotations", "Resize", "PanoResize",
+    "RandomFlip", "Normalize", "Pad", "PanoStretch", "RollAug", "PanoCheck",
+    "Compose", "CocoStyleDataset", "CocoDataset", "StreetDataset",
+    "Indoor360Dataset", "DetDataLoader",
+]

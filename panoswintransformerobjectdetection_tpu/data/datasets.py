@@ -1,0 +1,151 @@
+"""Datasets: COCO-format parsing without pycocotools, pano variants.
+
+Covers the reference's `CocoDataset` (`mmdet/datasets/coco.py:21`),
+`StreetDataset` (`street.py:21`) and the 360-Indoor tooling
+(`lzx/indoor360/`): annotation loading, class mapping, per-image ann
+grouping, aspect-ratio group flags, and `evaluate` via the numpy COCO-mAP
+implementation in `core/evaluation.py` (pycocotools' C extension has no
+place on the TPU host image).
+"""
+
+import json
+import os.path as osp
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.evaluation import eval_map_coco
+
+COCO_CLASSES = (
+    'person', 'bicycle', 'car', 'motorcycle', 'airplane', 'bus', 'train',
+    'truck', 'boat', 'traffic light', 'fire hydrant', 'stop sign',
+    'parking meter', 'bench', 'bird', 'cat', 'dog', 'horse', 'sheep', 'cow',
+    'elephant', 'bear', 'zebra', 'giraffe', 'backpack', 'umbrella', 'handbag',
+    'tie', 'suitcase', 'frisbee', 'skis', 'snowboard', 'sports ball', 'kite',
+    'baseball bat', 'baseball glove', 'skateboard', 'surfboard',
+    'tennis racket', 'bottle', 'wine glass', 'cup', 'fork', 'knife', 'spoon',
+    'bowl', 'banana', 'apple', 'sandwich', 'orange', 'broccoli', 'carrot',
+    'hot dog', 'pizza', 'donut', 'cake', 'chair', 'couch', 'potted plant',
+    'bed', 'dining table', 'toilet', 'tv', 'laptop', 'mouse', 'remote',
+    'keyboard', 'cell phone', 'microwave', 'oven', 'toaster', 'sink',
+    'refrigerator', 'book', 'clock', 'vase', 'scissors', 'teddy bear',
+    'hair drier', 'toothbrush')
+
+
+class CocoStyleDataset:
+    """COCO-json annotations -> per-image records with numpy ann arrays."""
+    CLASSES: Sequence[str] = COCO_CLASSES
+
+    def __init__(self, ann_file: str, img_prefix: str = "",
+                 pipeline: Optional[Sequence] = None,
+                 test_mode: bool = False, filter_empty_gt: bool = True,
+                 classes: Optional[Sequence[str]] = None):
+        if classes is not None:
+            self.CLASSES = tuple(classes)
+        self.ann_file = ann_file
+        self.img_prefix = img_prefix
+        self.test_mode = test_mode
+        from .transforms import Compose
+        self.pipeline = Compose(pipeline) if pipeline else None
+        self.records = self._parse(ann_file, filter_empty_gt and not test_mode)
+        # aspect-ratio group flag (`custom.py` _set_group_flag)
+        self.flags = np.array(
+            [1 if r["width"] / max(r["height"], 1) > 1 else 0 for r in self.records],
+            np.uint8)
+
+    # ------------------------------------------------------------------ parse
+    def _parse(self, ann_file, filter_empty) -> List[dict]:
+        with open(ann_file) as f:
+            coco = json.load(f)
+        cats = sorted(coco["categories"], key=lambda c: c["id"])
+        name_to_idx = {c: i for i, c in enumerate(self.CLASSES)}
+        self.cat_id_to_label = {}
+        for c in cats:
+            if c["name"] in name_to_idx:
+                self.cat_id_to_label[c["id"]] = name_to_idx[c["name"]]
+        anns_by_img: Dict[int, list] = {}
+        for a in coco.get("annotations", []):
+            anns_by_img.setdefault(a["image_id"], []).append(a)
+        records = []
+        for im in coco["images"]:
+            anns = anns_by_img.get(im["id"], [])
+            boxes, labels = [], []
+            for a in anns:
+                if a.get("iscrowd", 0) or a["category_id"] not in self.cat_id_to_label:
+                    continue
+                b = self._ann_to_xyxy(a, im)
+                if b is None:
+                    continue
+                boxes.append(b)
+                labels.append(self.cat_id_to_label[a["category_id"]])
+            if filter_empty and not boxes:
+                continue
+            records.append({
+                "id": im["id"],
+                "filename": im["file_name"],
+                "width": im["width"],
+                "height": im["height"],
+                "bboxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+                "labels": np.asarray(labels, np.int64),
+            })
+        return records
+
+    def _ann_to_xyxy(self, ann, img_info):
+        x, y, w, h = ann["bbox"]
+        if w <= 1 or h <= 1:
+            return None
+        return [x, y, x + w, y + h]
+
+    # ------------------------------------------------------------------ api
+    def __len__(self):
+        return len(self.records)
+
+    def get_sample(self, idx) -> dict:
+        r = self.records[idx]
+        results = {
+            "img_path": osp.join(self.img_prefix, r["filename"]),
+            "img_info": r,
+            "ann_info": {"bboxes": r["bboxes"], "labels": r["labels"]},
+        }
+        if self.pipeline is not None:
+            results = self.pipeline(results)
+        return results
+
+    __getitem__ = get_sample
+
+    def evaluate(self, detections: List[dict], iou_thrs=None) -> Dict[str, float]:
+        """detections: per image dict(boxes (K,4), scores (K,), labels (K,))
+        in original image coordinates."""
+        gts = [{"bboxes": r["bboxes"], "labels": r["labels"]} for r in self.records]
+        return eval_map_coco(detections, gts, num_classes=len(self.CLASSES),
+                             iou_thrs=iou_thrs)
+
+
+class CocoDataset(CocoStyleDataset):
+    CLASSES = COCO_CLASSES
+
+
+class StreetDataset(CocoStyleDataset):
+    """OmnidirectionalStreetViewDataset (`street.py:21`)."""
+    CLASSES = ("car", "crosswalk", "light", "traffic_sign", "warning_line")
+
+
+class Indoor360Dataset(CocoStyleDataset):
+    """360-Indoor: BFoV (tangent u, v, w, h) boxes converted to equirect
+    xyxy at parse time (`lzx/indoor360/view_pano.py:39`, the
+    `LoadPanoAnnotations bb_tangent2sphere` hook)."""
+    CLASSES = tuple(f"c{i}" for i in range(37))
+
+    def __init__(self, *args, classes=None, **kw):
+        super().__init__(*args, classes=classes, **kw)
+
+    def _ann_to_xyxy(self, ann, img_info):
+        import jax.numpy as jnp
+        from ..geometry.projection import bfov_to_xyxy
+        b = ann["bbox"]
+        if len(b) == 4 and max(abs(v) for v in b) <= 2 * np.pi:
+            xyxy = np.asarray(bfov_to_xyxy(
+                jnp.asarray([b], jnp.float32),
+                img_info["width"], img_info["height"]))[0]
+            return xyxy.tolist()
+        return super()._ann_to_xyxy(ann, img_info)

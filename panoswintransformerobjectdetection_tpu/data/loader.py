@@ -1,0 +1,107 @@
+"""Batched loader: aspect-ratio grouping, static shape buckets, gt padding.
+
+Replaces `mmdet/datasets/builder.py:75 build_dataloader` + `GroupSampler`
+(`samplers/group_sampler.py:10`).  TPU twist: batches are padded to a
+small fixed set of (H, W) buckets so every jit signature is reused —
+multi-scale training cycles through the bucket set instead of arbitrary
+shapes.  Distributed sharding = strided record slicing per host (the
+`DistributedGroupSampler` role); device placement happens in the caller
+via `parallel.shard_batch`.
+"""
+
+import math
+import random
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _round_up(x, m):
+    return int(math.ceil(x / m) * m)
+
+
+class DetDataLoader:
+    def __init__(self, dataset, batch_size: int, max_gt: int = 100,
+                 shuffle: bool = True, size_divisor: int = 32,
+                 buckets: Optional[Sequence[Tuple[int, int]]] = None,
+                 seed: int = 0, num_shards: int = 1, shard_id: int = 0,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_gt = max_gt
+        self.shuffle = shuffle
+        self.size_divisor = size_divisor
+        self.buckets = [tuple(b) for b in buckets] if buckets else None
+        self.rng = random.Random(seed)
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+        self.drop_last = drop_last
+
+    def _epoch_indices(self) -> List[int]:
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            # group by aspect-ratio flag, shuffle within groups (GroupSampler)
+            flags = getattr(self.dataset, "flags", np.zeros(len(idx), np.uint8))
+            groups = {}
+            for i in idx:
+                groups.setdefault(int(flags[i]), []).append(i)
+            chunks = []
+            for g in groups.values():
+                self.rng.shuffle(g)
+                for s in range(0, len(g) - len(g) % self.batch_size, self.batch_size):
+                    chunks.append(g[s:s + self.batch_size])
+            self.rng.shuffle(chunks)
+            idx = [i for c in chunks for i in c]
+        return idx[self.shard_id::self.num_shards]
+
+    def _bucket_for(self, h, w) -> Tuple[int, int]:
+        if self.buckets is None:
+            return (_round_up(h, self.size_divisor), _round_up(w, self.size_divisor))
+        for bh, bw in sorted(self.buckets):
+            if h <= bh and w <= bw:
+                return (bh, bw)
+        return max(self.buckets)
+
+    def _collate(self, samples: List[dict]) -> Dict[str, np.ndarray]:
+        B = len(samples)
+        hs = [s["img"].shape[0] for s in samples]
+        ws = [s["img"].shape[1] for s in samples]
+        bh, bw = self._bucket_for(max(hs), max(ws))
+        images = np.zeros((B, bh, bw, 3), np.float32)
+        img_shapes = np.zeros((B, 2), np.float32)
+        scale_factors = np.ones((B, 4), np.float32)
+        gt_boxes = np.zeros((B, self.max_gt, 4), np.float32)
+        gt_labels = np.zeros((B, self.max_gt), np.int32)
+        gt_valid = np.zeros((B, self.max_gt), bool)
+        ori_shapes = np.zeros((B, 2), np.float32)
+        for i, s in enumerate(samples):
+            img = s["img"]
+            images[i, :img.shape[0], :img.shape[1]] = img
+            img_shapes[i] = img.shape[:2]
+            scale_factors[i] = s.get("scale_factor", np.ones(4, np.float32))
+            ori_shapes[i] = s.get("ori_shape", img.shape)[:2]
+            b = s.get("gt_bboxes")
+            if b is not None and len(b):
+                n = min(len(b), self.max_gt)
+                gt_boxes[i, :n] = b[:n]
+                gt_labels[i, :n] = s["gt_labels"][:n]
+                gt_valid[i, :n] = True
+        return {"images": images, "img_shapes": img_shapes,
+                "scale_factors": scale_factors, "ori_shapes": ori_shapes,
+                "gt_boxes": gt_boxes, "gt_labels": gt_labels,
+                "gt_valid": gt_valid}
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._epoch_indices()
+        end = len(idx) - len(idx) % self.batch_size if self.drop_last else len(idx)
+        for s in range(0, end, self.batch_size):
+            chunk = idx[s:s + self.batch_size]
+            samples = [self.dataset[i] for i in chunk]
+            samples = [x for x in samples if x is not None]
+            if len(samples) < len(chunk):
+                continue
+            yield self._collate(samples)
+
+    def __len__(self):
+        n = len(self._epoch_indices())
+        return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)

@@ -1,0 +1,289 @@
+"""Pipeline transforms (host-side numpy/cv2).
+
+Covers the reference pipeline ops (`mmdet/datasets/pipelines/transforms.py`
++ the pano additions `PanoResize:347`, `PanoStretch:992`, `RollAug:1025`,
+`PanoCheck:1120`, and the `lzx` augs they delegate to: `xzaug.py:142`,
+`rollaug.py:11`).  Each transform mutates a `results` dict:
+
+  img (H, W, 3 float32), gt_bboxes (N, 4 xyxy px), gt_labels (N,),
+  img_shape, ori_shape, pad_shape, scale_factor (4,), pano_ratio_v (2,)
+"""
+
+import math
+import os.path as osp
+import random
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = list(transforms)
+
+    def __call__(self, results):
+        for t in self.transforms:
+            results = t(results)
+            if results is None:
+                return None
+        return results
+
+
+class LoadImageFromFile:
+    def __init__(self, to_float32: bool = True):
+        self.to_float32 = to_float32
+
+    def __call__(self, results):
+        path = results["img_path"]
+        img = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR
+        if img is None:
+            raise FileNotFoundError(path)
+        if self.to_float32:
+            img = img.astype(np.float32)
+        results["img"] = img
+        results["img_shape"] = img.shape
+        results["ori_shape"] = img.shape
+        results.setdefault("scale_factor", np.ones(4, np.float32))
+        return results
+
+
+class LoadAnnotations:
+    """Copies pre-parsed ann arrays into working keys.  The pano subclass
+    hook (`LoadPanoAnnotations:392`, BFoV -> sphere) runs at dataset parse
+    time in this design (see `datasets.Indoor360Dataset`)."""
+    def __init__(self, with_bbox: bool = True, **_):
+        self.with_bbox = with_bbox
+
+    def __call__(self, results):
+        ann = results["ann_info"]
+        results["gt_bboxes"] = ann["bboxes"].astype(np.float32).copy()
+        results["gt_labels"] = ann["labels"].astype(np.int64).copy()
+        return results
+
+
+def _resize_img(img, new_w, new_h):
+    return cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+
+
+class Resize:
+    """Keep-ratio multi-scale resize (mmdet Resize semantics):
+    scale = min(long_max / long, short_max / short)."""
+    def __init__(self, img_scale, keep_ratio: bool = True,
+                 multiscale_mode: str = "value"):
+        if isinstance(img_scale[0], (int, float)):
+            img_scale = [tuple(img_scale)]
+        self.img_scale = [tuple(s) for s in img_scale]
+        self.keep_ratio = keep_ratio
+        self.multiscale_mode = multiscale_mode
+
+    def _pick_scale(self):
+        if len(self.img_scale) == 1:
+            return self.img_scale[0]
+        if self.multiscale_mode == "value":
+            return random.choice(self.img_scale)
+        # 'range': sample the short edge uniformly between the two extremes
+        shorts = [min(s) for s in self.img_scale]
+        longs = [max(s) for s in self.img_scale]
+        short = random.randint(min(shorts), max(shorts))
+        return (short, max(longs))
+
+    def __call__(self, results):
+        h, w = results["img"].shape[:2]
+        scale = self._pick_scale()
+        short, long_ = min(scale), max(scale)
+        if self.keep_ratio:
+            f = min(long_ / max(h, w), short / min(h, w))
+            new_w, new_h = int(w * f + 0.5), int(h * f + 0.5)
+        else:
+            new_h, new_w = scale
+        img = _resize_img(results["img"], new_w, new_h)
+        w_f = new_w / w
+        h_f = new_h / h
+        results["img"] = img
+        results["img_shape"] = img.shape
+        results["scale_factor"] = np.array([w_f, h_f, w_f, h_f], np.float32)
+        if "gt_bboxes" in results:
+            b = results["gt_bboxes"] * results["scale_factor"]
+            b[:, 0::2] = b[:, 0::2].clip(0, new_w)
+            b[:, 1::2] = b[:, 1::2].clip(0, new_h)
+            results["gt_bboxes"] = b
+        return results
+
+
+class PanoResize(Resize):
+    """Aspect-preserving resize that keeps panoramas full-width
+    (`transforms.py:347 PanoResize`): the scale factor applies to the full
+    equirect width so no horizontal crop is introduced."""
+    def __call__(self, results):
+        h, w = results["img"].shape[:2]
+        scale = self._pick_scale()
+        short = min(scale)
+        f = short / h   # panorama: height is the short side, width = 2h
+        new_w, new_h = int(w * f + 0.5), int(h * f + 0.5)
+        img = _resize_img(results["img"], new_w, new_h)
+        w_f, h_f = new_w / w, new_h / h
+        results["img"] = img
+        results["img_shape"] = img.shape
+        results["scale_factor"] = np.array([w_f, h_f, w_f, h_f], np.float32)
+        if "gt_bboxes" in results:
+            results["gt_bboxes"] = results["gt_bboxes"] * results["scale_factor"]
+        return results
+
+
+class RandomFlip:
+    def __init__(self, flip_ratio: float = 0.5):
+        self.flip_ratio = flip_ratio
+
+    def __call__(self, results):
+        if random.random() < self.flip_ratio:
+            img = results["img"][:, ::-1]
+            results["img"] = np.ascontiguousarray(img)
+            w = img.shape[1]
+            if "gt_bboxes" in results:
+                b = results["gt_bboxes"].copy()
+                b[:, 0], b[:, 2] = w - results["gt_bboxes"][:, 2], \
+                    w - results["gt_bboxes"][:, 0]
+                results["gt_bboxes"] = b
+            results["flip"] = True
+        else:
+            results["flip"] = False
+        return results
+
+
+class Normalize:
+    def __init__(self, mean, std, to_rgb: bool = True):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_rgb = to_rgb
+
+    def __call__(self, results):
+        img = results["img"].astype(np.float32)
+        if self.to_rgb:
+            img = img[..., ::-1]
+        results["img"] = (img - self.mean) / self.std
+        return results
+
+
+class Pad:
+    def __init__(self, size_divisor: int = 32):
+        self.size_divisor = size_divisor
+
+    def __call__(self, results):
+        img = results["img"]
+        h, w = img.shape[:2]
+        ph = -h % self.size_divisor
+        pw = -w % self.size_divisor
+        if ph or pw:
+            img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+        results["img"] = img
+        results["pad_shape"] = img.shape
+        return results
+
+
+def _uv_tri(w, h):
+    u = (((np.arange(w) + 0.5) / w) - 0.5) * 2 * np.pi
+    v = (((np.arange(h) + 0.5) / h) - 0.5) * np.pi
+    uu, vv = np.meshgrid(u, v)
+    return np.sin(uu), np.cos(uu), np.tan(vv)
+
+
+def pano_stretch(img, boxes, kx, ky):
+    """Pano-stretch (`xzaug.py:98 getAug`): stretch the scene along the
+    tangent axes by (kx, ky) and resample the equirect image; boxes map
+    through the closed-form uv warp of their corner points."""
+    from scipy.ndimage import map_coordinates
+    h, w = img.shape[:2]
+    sin_u, cos_u, tan_v = _uv_tri(w, h)
+    u0 = np.arctan2(sin_u * kx / ky, cos_u)
+    v0 = np.arctan(tan_v * np.sin(u0) / sin_u * ky)
+    refx = (u0 / (2 * np.pi) + 0.5) * w - 0.5
+    refy = (v0 / np.pi + 0.5) * h - 0.5
+    out = np.stack([
+        map_coordinates(img[..., i], [refy, refx], order=1, mode="wrap")
+        for i in range(img.shape[-1])
+    ], axis=-1)
+
+    if boxes is not None and len(boxes):
+        pts = boxes.reshape(-1, 2)
+        cu0 = ((pts[:, 0] + 0.5) / w - 0.5) * 2 * np.pi
+        cv0 = ((pts[:, 1] + 0.5) / h - 0.5) * np.pi
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cu = np.arctan2(np.sin(cu0) * ky / kx, np.cos(cu0))
+            cv = np.arctan(np.tan(cv0) * np.sin(cu) / np.sin(cu0) / ky)
+        cv = np.where(np.abs(np.sin(cu0)) < 1e-9, np.arctan(np.tan(cv0) / ky), cv)
+        px = (cu / (2 * np.pi) + 0.5) * w - 0.5
+        py = (cv / np.pi + 0.5) * h - 0.5
+        boxes = np.stack([px, py], -1).reshape(-1, 4).astype(np.float32)
+        boxes = np.stack([np.minimum(boxes[:, 0], boxes[:, 2]),
+                          np.minimum(boxes[:, 1], boxes[:, 3]),
+                          np.maximum(boxes[:, 0], boxes[:, 2]),
+                          np.maximum(boxes[:, 1], boxes[:, 3])], -1)
+    return out, boxes
+
+
+class PanoStretch:
+    """`transforms.py:992`: random kx, ky in [1, k] (inverted half the time)."""
+    def __init__(self, chance: float = 1.0, kxy=(2.0, 2.0)):
+        self.chance = chance
+        self.kxy = kxy
+
+    def __call__(self, results):
+        if random.random() >= self.chance:
+            return results
+        kx = random.uniform(1.0, self.kxy[0])
+        ky = random.uniform(1.0, self.kxy[1])
+        if random.random() < 0.5:
+            kx = 1.0 / kx
+        if random.random() < 0.5:
+            ky = 1.0 / ky
+        img, boxes = pano_stretch(results["img"], results.get("gt_bboxes"), kx, ky)
+        results["img"] = img.astype(np.float32)
+        if boxes is not None:
+            h, w = img.shape[:2]
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
+            results["gt_bboxes"] = boxes
+        return results
+
+
+class RollAug:
+    """Horizontal wrap-around roll (`rollaug.py:11`): shift the pano by a
+    random fraction of its width; boxes crossing the seam keep the larger
+    fragment (clip01 semantics)."""
+    def __init__(self, chance: float = 1.0, clip01: bool = True):
+        self.chance = chance
+        self.clip01 = clip01
+
+    def __call__(self, results):
+        if random.random() >= self.chance:
+            return results
+        img = results["img"]
+        h, w = img.shape[:2]
+        dist = random.random()
+        shift = int(dist * w)
+        results["img"] = np.ascontiguousarray(np.roll(img, shift, axis=1))
+        if "gt_bboxes" in results and len(results["gt_bboxes"]):
+            b = results["gt_bboxes"].copy()
+            b[:, 0] += shift
+            b[:, 2] += shift
+            over = b[:, 2] > w
+            center_over = (b[:, 0] + b[:, 2]) * 0.5 > w
+            # box mostly past the seam: move it to the left edge
+            b[:, 0] = np.where(over & center_over, np.maximum(b[:, 0] - w, 0), b[:, 0])
+            b[:, 2] = np.where(over & center_over, b[:, 2] - w, b[:, 2])
+            # box mostly before the seam: clip the protruding part
+            b[:, 2] = np.where(over & ~center_over, w, b[:, 2])
+            results["gt_bboxes"] = b
+        return results
+
+
+class PanoCheck:
+    """Inject the default full-pano `pano_ratio_v` (`transforms.py:1120`)."""
+    def __call__(self, results):
+        results.setdefault("pano_ratio_v", np.array([0.0, 1.0], np.float32))
+        return results

@@ -1,0 +1,186 @@
+"""Data pipeline + dataset + loader + evaluation tests (host-side)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from panoswintransformerobjectdetection_tpu.data import (
+    Resize, PanoResize, RandomFlip, Normalize, Pad, PanoStretch, RollAug,
+    PanoCheck, Compose, StreetDataset, DetDataLoader,
+)
+from panoswintransformerobjectdetection_tpu.core.evaluation import (
+    eval_map_coco, _average_precision,
+)
+
+
+def synth_results(h=64, w=128, n=3, seed=0):
+    rng = np.random.default_rng(seed)
+    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    boxes = np.zeros((n, 4), np.float32)
+    boxes[:, 0] = rng.uniform(0, w * 0.6, n)
+    boxes[:, 1] = rng.uniform(0, h * 0.6, n)
+    boxes[:, 2] = boxes[:, 0] + rng.uniform(4, w * 0.3, n)
+    boxes[:, 3] = boxes[:, 1] + rng.uniform(4, h * 0.3, n)
+    return {"img": img, "img_shape": img.shape, "ori_shape": img.shape,
+            "gt_bboxes": boxes, "gt_labels": np.arange(n),
+            "scale_factor": np.ones(4, np.float32)}
+
+
+class TestTransforms:
+    def test_resize_keep_ratio(self):
+        r = synth_results()
+        out = Resize(img_scale=(48, 1333))(r)
+        assert out["img"].shape[0] == 48  # short side -> 48 (long side within cap)
+        assert out["img"].shape[1] == 96
+        assert (out["gt_bboxes"] <= max(out["img"].shape)).all()
+
+    def test_pano_resize_full_width(self):
+        r = synth_results(64, 128)
+        out = PanoResize(img_scale=(32, 1333))(r)
+        assert out["img"].shape[:2] == (32, 64)
+
+    def test_flip_involution(self):
+        r = synth_results()
+        boxes0 = r["gt_bboxes"].copy()
+        f = RandomFlip(flip_ratio=1.0)
+        out = f(f(r))
+        np.testing.assert_allclose(out["gt_bboxes"], boxes0, atol=1e-4)
+
+    def test_normalize(self):
+        r = synth_results()
+        out = Normalize(mean=[10, 10, 10], std=[2, 2, 2], to_rgb=False)(r)
+        assert abs(out["img"].mean() - (127.5 - 10) / 2) < 20
+
+    def test_pad(self):
+        r = synth_results(60, 100)
+        out = Pad(size_divisor=32)(r)
+        assert out["img"].shape[:2] == (64, 128)
+        assert out["pad_shape"][:2] == (64, 128)
+
+    def test_roll_aug_keeps_box_count_and_area(self):
+        np.random.seed(0)
+        import random as pyrandom
+        pyrandom.seed(3)
+        r = synth_results()
+        n0 = len(r["gt_bboxes"])
+        out = RollAug(chance=1.0)(r)
+        assert len(out["gt_bboxes"]) == n0
+        b = out["gt_bboxes"]
+        assert (b[:, 2] >= b[:, 0]).all() and (b[:, 3] >= b[:, 1]).all()
+        assert (b[:, 0] >= 0).all() and (b[:, 2] <= r["img"].shape[1]).all()
+
+    def test_pano_stretch_identity(self):
+        r = synth_results()
+        from panoswintransformerobjectdetection_tpu.data.transforms import pano_stretch
+        img, boxes = pano_stretch(r["img"], r["gt_bboxes"], 1.0, 1.0)
+        np.testing.assert_allclose(img, r["img"], atol=1e-3)
+        np.testing.assert_allclose(boxes, r["gt_bboxes"], atol=1e-2)
+
+    def test_pano_stretch_warps(self):
+        r = synth_results()
+        from panoswintransformerobjectdetection_tpu.data.transforms import pano_stretch
+        img, boxes = pano_stretch(r["img"], r["gt_bboxes"], 1.7, 1.0)
+        assert img.shape == r["img"].shape
+        assert np.isfinite(boxes).all()
+        assert not np.allclose(boxes, r["gt_bboxes"])
+
+    def test_pano_check(self):
+        out = PanoCheck()(synth_results())
+        np.testing.assert_array_equal(out["pano_ratio_v"], [0.0, 1.0])
+
+
+@pytest.fixture
+def coco_dir(tmp_path):
+    import cv2
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    images, annotations = [], []
+    aid = 1
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        h, w = 64, 128
+        fn = f"{i}.jpg"
+        cv2.imwrite(str(img_dir / fn), (rng.random((h, w, 3)) * 255).astype(np.uint8))
+        images.append({"id": i, "file_name": fn, "width": w, "height": h})
+        for _ in range(3):
+            x, y = rng.uniform(0, 60), rng.uniform(0, 30)
+            bw, bh = rng.uniform(5, 30), rng.uniform(5, 20)
+            annotations.append({"id": aid, "image_id": i,
+                                "category_id": int(rng.integers(1, 6)),
+                                "bbox": [float(x), float(y), float(bw), float(bh)],
+                                "area": float(bw * bh), "iscrowd": 0})
+            aid += 1
+    cats = [{"id": j + 1, "name": n} for j, n in
+            enumerate(("car", "crosswalk", "light", "traffic_sign", "warning_line"))]
+    ann = {"images": images, "annotations": annotations, "categories": cats}
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+    return str(ann_file), str(img_dir)
+
+
+class TestDataset:
+    def test_street_dataset_and_loader(self, coco_dir):
+        ann_file, img_dir = coco_dir
+        from panoswintransformerobjectdetection_tpu.data import (
+            LoadImageFromFile, LoadAnnotations)
+        ds = StreetDataset(ann_file, img_prefix=img_dir, pipeline=[
+            LoadImageFromFile(), LoadAnnotations(),
+            Resize(img_scale=(48, 96)), Normalize([0, 0, 0], [255, 255, 255]),
+            Pad(32),
+        ])
+        assert len(ds) == 4
+        s = ds[0]
+        assert s["img"].shape[2] == 3
+        loader = DetDataLoader(ds, batch_size=2, max_gt=8)
+        batches = list(loader)
+        assert len(batches) == 2
+        b = batches[0]
+        assert b["images"].shape[0] == 2
+        assert b["gt_boxes"].shape == (2, 8, 4)
+        assert b["gt_valid"].any()
+
+    def test_perfect_detection_map(self, coco_dir):
+        ann_file, img_dir = coco_dir
+        ds = StreetDataset(ann_file, img_prefix=img_dir)
+        dets = []
+        for r in ds.records:
+            dets.append({"boxes": r["bboxes"], "labels": r["labels"],
+                         "scores": np.ones(len(r["labels"]), np.float32)})
+        m = ds.evaluate(dets)
+        assert m["bbox_mAP"] > 0.99
+        assert m["bbox_mAP_50"] > 0.99
+
+
+class TestEval:
+    def test_ap_simple(self):
+        tp = np.array([True, True, False, True])
+        scores = np.array([0.9, 0.8, 0.7, 0.6])
+        ap = _average_precision(tp, scores, num_gt=4)
+        assert 0.5 < ap < 0.8
+
+    def test_no_detections(self):
+        gts = [{"bboxes": np.array([[0, 0, 10, 10.]]), "labels": np.array([0])}]
+        dets = [{"boxes": np.zeros((0, 4)), "scores": np.zeros(0), "labels": np.zeros(0, int)}]
+        m = eval_map_coco(dets, gts, num_classes=2)
+        assert m["bbox_mAP"] == 0.0
+
+    def test_wrong_class_penalized(self):
+        gts = [{"bboxes": np.array([[0, 0, 10, 10.]]), "labels": np.array([0])}]
+        good = [{"boxes": np.array([[0, 0, 10, 10.]]), "scores": np.array([0.9]),
+                 "labels": np.array([0])}]
+        bad = [{"boxes": np.array([[0, 0, 10, 10.]]), "scores": np.array([0.9]),
+                "labels": np.array([1])}]
+        assert eval_map_coco(good, gts, 2)["bbox_mAP"] == 1.0
+        assert eval_map_coco(bad, gts, 2)["bbox_mAP"] == 0.0
+
+    def test_localization_threshold(self):
+        gts = [{"bboxes": np.array([[0, 0, 10, 10.]]), "labels": np.array([0])}]
+        # IoU ~0.68 vs gt: counts at 0.5 but not at 0.7+
+        dets = [{"boxes": np.array([[0, 0, 10, 14.5]]), "scores": np.array([0.9]),
+                 "labels": np.array([0])}]
+        m = eval_map_coco(dets, gts, 1)
+        assert m["bbox_mAP_50"] == 1.0
+        assert m["bbox_mAP_75"] == 0.0
+        assert 0 < m["bbox_mAP"] < 1
