@@ -129,7 +129,11 @@ class PanoSwinBlock(nn.Module):
         xn = layer_norm("norm1")(x)
 
         xu = jnp.concatenate([xn, uv], axis=-1)   # carry uv through the same permutation
-        if pano_mode and self.shift_size > 0:
+        # pano mode applies the ew2ns pole rotation on EVERY block — with
+        # shift_size=0 the transition is roll(0) -> ew2ns -> roll(0)
+        # (`WindowTransition.forward:393-406` is unconditional in the pano
+        # branch of `PanoSwinTransformerBlock.forward:507`)
+        if pano_mode:
             xu = window_transition(xu, self.shift_size, True)
         SH, SW = xu.shape[1], xu.shape[2]
         ph, pw = (-SH) % ws, (-SW) % ws
@@ -151,7 +155,7 @@ class PanoSwinBlock(nn.Module):
         if (not pano_mode) and self.shift_size > 0:
             y = window_transition_reverse(y, self.shift_size, False)
         y = y[:, :SH, :SW, :]
-        if pano_mode and self.shift_size > 0:
+        if pano_mode:
             y = window_transition_reverse(y, self.shift_size, True, width_was_odd=bool(W % 2))
         y = y[:, :H, :W, :]
 
@@ -234,8 +238,12 @@ class PitchAttention(nn.Module):
     def __call__(self, x, uv, pano_mode=True, deterministic=True):
         B, H, W, c = x.shape
         ws = self.window_size
-        shortcut = x
         xn = self.norm1(x)
+        # NOTE: the reference takes `shortcut_bsc` as a *view* of the input
+        # and then overwrites it in place with norm1
+        # (`simple_panoswin_transformer.py:1154-1155`), so its residual is
+        # the POST-norm features; reproduced for checkpoint parity.
+        shortcut = xn
         xu = jnp.concatenate([xn, uv], axis=-1)
         pad_b, pad_r = (-H) % ws, (-W) % ws
         if pad_b or pad_r:

@@ -36,13 +36,22 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     order = jnp.argsort(-scores)
     b = boxes[order]
     s = scores[order]
-    iou = bbox_overlaps(b, b)
-    upper = jnp.arange(N)[None, :] > jnp.arange(N)[:, None]
-    sup_matrix = (iou > iou_threshold) & upper          # j suppressed by i
+    area = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    rank = jnp.arange(N)
 
+    # IoU rows are computed inside the loop — O(N) memory, not an N^2
+    # matrix (a (B, N, N, 2) broadcast at RPN candidate counts would blow
+    # HBM under vmap)
     def body(i, sup):
         alive = jnp.logical_not(sup[i]) & (s[i] > NEG_INF / 2)
-        return jnp.where(alive, sup | sup_matrix[i], sup)
+        bi = jax.lax.dynamic_slice(b, (i, 0), (1, 4))[0]
+        lt = jnp.maximum(bi[:2], b[:, :2])
+        rb = jnp.minimum(bi[2:], b[:, 2:])
+        wh = jnp.clip(rb - lt, 0.0, None)
+        inter = wh[:, 0] * wh[:, 1]
+        ai = jnp.maximum(bi[2] - bi[0], 0) * jnp.maximum(bi[3] - bi[1], 0)
+        iou_row = inter / jnp.maximum(ai + area - inter, 1e-6)
+        return sup | (alive & (iou_row > iou_threshold) & (rank > i))
 
     sup = jax.lax.fori_loop(0, N, body, jnp.zeros(N, bool))
     keep = jnp.logical_not(sup) & (s > NEG_INF / 2)

@@ -1,0 +1,271 @@
+"""Checkpointing: orbax state save/restore + PyTorch checkpoint conversion.
+
+The converter replicates the reference's Swin-aware loader semantics
+(`mmcv_custom/checkpoint.py`): `module.` prefix stripping, absolute
+position embedding reshape (:327-334), and bicubic interpolation of
+relative-position bias tables across window sizes (:336-352) — applied to
+the PanoSwin alpha/beta tables as well — while additionally translating
+layouts torch->flax: Linear (out,in)->(in,out), Conv OIHW->HWIO,
+LayerNorm weight->scale, BatchNorm stats -> the `batch_stats` collection,
+and channel-first fc flattening -> channel-last.
+"""
+
+import math
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------------- orbax
+def save_checkpoint(path: str, state, step: Optional[int] = None):
+    import orbax.checkpoint as ocp
+    import jax
+    ckpt = {"params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step}
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.device_get(ckpt), force=True)
+
+
+def load_checkpoint(path: str, state):
+    import orbax.checkpoint as ocp
+    import jax
+    ckptr = ocp.PyTreeCheckpointer()
+    template = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "step": state.step}
+    restored = ckptr.restore(path, item=jax.device_get(template))
+    return state.replace(params=restored["params"],
+                         batch_stats=restored["batch_stats"],
+                         opt_state=restored["opt_state"],
+                         step=restored["step"])
+
+
+# ------------------------------------------------------------ torch -> flax
+def _strip_module(sd: Dict[str, Any]) -> Dict[str, Any]:
+    if all(k.startswith("module.") for k in sd):
+        return {k[len("module."):]: v for k, v in sd.items()}
+    return sd
+
+
+def _np(t):
+    return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+
+def _linear(sd, prefix):
+    out = {"kernel": _np(sd[prefix + ".weight"]).T}
+    if prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
+def _conv(sd, prefix):
+    out = {"kernel": _np(sd[prefix + ".weight"]).transpose(2, 3, 1, 0)}
+    if prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
+def _ln(sd, prefix):
+    return {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])}
+
+
+def _bn(sd, prefix):
+    params = {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])}
+    stats = {"mean": _np(sd[prefix + ".running_mean"]),
+             "var": _np(sd[prefix + ".running_var"])}
+    return params, stats
+
+
+def resize_bias_table(table: np.ndarray, src_ws: int, dst_ws: int) -> np.ndarray:
+    """Bicubic resize of a ((2w-1)^2, heads) relative bias table across
+    window sizes (`mmcv_custom/checkpoint.py:336-352`)."""
+    if src_ws == dst_ws:
+        return table
+    t, h = table.shape
+    s = 2 * src_ws - 1
+    d = 2 * dst_ws - 1
+    import jax
+    img = table.reshape(1, s, s, h)
+    out = jax.image.resize(img, (1, d, d, h), method="bicubic")
+    return np.asarray(out).reshape(d * d, h)
+
+
+def convert_panoswin_backbone(sd: Dict[str, Any], depths, window_size: int = 7,
+                              src_window_size: Optional[int] = None
+                              ) -> Tuple[dict, dict]:
+    """Reference `SimplePanoSwinTransformer` state_dict -> (params, batch_stats)
+    trees for `models.panoswin.PanoSwinTransformer`."""
+    sd = _strip_module(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    pe_params = {
+        "conv0": _conv(sd, "patch_embed.proj.0"),
+        "conv1": _conv(sd, "patch_embed.proj.3"),
+        "proj": _conv(sd, "patch_embed.proj.6"),
+    }
+    pe_stats = {}
+    pe_params["bn0"], pe_stats["bn0"] = _bn(sd, "patch_embed.proj.1")
+    pe_params["bn1"], pe_stats["bn1"] = _bn(sd, "patch_embed.proj.4")
+    if "patch_embed.norm.weight" in sd:
+        pe_params["norm"] = _ln(sd, "patch_embed.norm")
+    params["patch_embed"] = pe_params
+    stats["patch_embed"] = pe_stats
+
+    if "abs_encoder.weight" in sd:
+        params["abs_encoder"] = _linear(sd, "abs_encoder")
+
+    def table(prefix, name):
+        t = _np(sd[prefix + name])
+        if src_window_size:
+            t = resize_bias_table(t, src_window_size, window_size)
+        return t
+
+    for i, depth in enumerate(depths):
+        layer: Dict[str, Any] = {}
+        depth_swin = depth - depth % 2
+        for j in range(depth):
+            p = f"layers.{i}.blocks.{j}"
+            blk: Dict[str, Any] = {
+                "norm1": _ln(sd, p + ".norm1"),
+                "norm2": _ln(sd, p + ".norm2"),
+                "mlp": {"fc1": _linear(sd, p + ".mlp.fc1"),
+                        "fc2": _linear(sd, p + ".mlp.fc2")},
+            }
+            if j < depth_swin:
+                blk["attn"] = {
+                    "qkv": _linear(sd, p + ".attn.qkv"),
+                    "proj": _linear(sd, p + ".attn.proj"),
+                    "alpha_table": table(p, ".attn.sphere_position_alpha_table_Te"),
+                    "beta_table": table(p, ".attn.sphere_position_beta_table_Te"),
+                }
+            else:  # pitch attention block (flat params on the module)
+                blk.update({
+                    "q_linear": _linear(sd, p + ".q_linear"),
+                    "k_linear": _linear(sd, p + ".k_linear"),
+                    "v_linear": _linear(sd, p + ".v_linear"),
+                    "proj": _linear(sd, p + ".proj"),
+                    "alpha_table": table(p, ".sphere_position_alpha_table_Te"),
+                    "beta_table": table(p, ".sphere_position_beta_table_Te"),
+                })
+            layer[f"blocks_{j}"] = blk
+        if f"layers.{i}.downsample.reduction.weight" in sd:
+            layer["downsample"] = {
+                "norm": _ln(sd, f"layers.{i}.downsample.norm"),
+                "reduction": {"kernel": _np(
+                    sd[f"layers.{i}.downsample.reduction.weight"]).T},
+            }
+        params[f"layers_{i}"] = layer
+
+    for i in range(len(depths)):
+        if f"norm{i}.weight" in sd:
+            params[f"norm{i}"] = _ln(sd, f"norm{i}")
+    return params, stats
+
+
+def convert_swin_backbone(sd: Dict[str, Any], depths, window_size: int = 7,
+                          src_window_size: Optional[int] = None,
+                          embed_dim: int = 96) -> Tuple[dict, dict]:
+    """Stock `swin_transformer.py` state_dict -> flax `SwinTransformer` tree."""
+    sd = _strip_module(sd)
+    params: Dict[str, Any] = {}
+    params["patch_embed"] = {"proj": _conv(sd, "patch_embed.proj")}
+    if "patch_embed.norm.weight" in sd:
+        params["patch_embed"]["norm"] = _ln(sd, "patch_embed.norm")
+    if "absolute_pos_embed" in sd:
+        ape = _np(sd["absolute_pos_embed"])    # (1, L, C) or (1, C, H, W)
+        if ape.ndim == 4:
+            ape = ape.transpose(0, 2, 3, 1)
+        else:
+            L = ape.shape[1]
+            s = int(math.isqrt(L))
+            ape = ape.reshape(1, s, s, -1)
+        params["absolute_pos_embed"] = ape
+
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            p = f"layers.{i}.blocks.{j}"
+            t = _np(sd[p + ".attn.relative_position_bias_table"])
+            if src_window_size:
+                t = resize_bias_table(t, src_window_size, window_size)
+            params[f"layers_{i}_blocks_{j}"] = {
+                "norm1": _ln(sd, p + ".norm1"),
+                "norm2": _ln(sd, p + ".norm2"),
+                "attn": {
+                    "qkv": _linear(sd, p + ".attn.qkv"),
+                    "proj": _linear(sd, p + ".attn.proj"),
+                    "relative_position_bias_table": t,
+                },
+                "mlp": {"fc1": _linear(sd, p + ".mlp.fc1"),
+                        "fc2": _linear(sd, p + ".mlp.fc2")},
+            }
+        if f"layers.{i}.downsample.reduction.weight" in sd:
+            params[f"layers_{i}_downsample"] = {
+                "norm": _ln(sd, f"layers.{i}.downsample.norm"),
+                "reduction": {"kernel": _np(
+                    sd[f"layers.{i}.downsample.reduction.weight"]).T},
+            }
+    for i in range(len(depths)):
+        if f"norm{i}.weight" in sd:
+            params[f"norm{i}"] = _ln(sd, f"norm{i}")
+    return params, {}
+
+
+def _fc_from_chw(sd, prefix, spatial=7):
+    """torch fc over a flattened (C, h, w) roi feature -> flax fc over
+    (h, w, C): permute the input-dim ordering of the weight."""
+    w = _np(sd[prefix + ".weight"])            # (out, C*h*w) channel-first
+    out_dim, in_dim = w.shape
+    c = in_dim // (spatial * spatial)
+    w = w.reshape(out_dim, c, spatial, spatial).transpose(0, 2, 3, 1)
+    w = w.reshape(out_dim, in_dim).T
+    return {"kernel": w, "bias": _np(sd[prefix + ".bias"])}
+
+
+def convert_detector(sd: Dict[str, Any], depths, window_size: int = 7,
+                     backbone: str = "panoswin",
+                     src_window_size: Optional[int] = None) -> Tuple[dict, dict]:
+    """Full two-stage detector state_dict -> detector variables tree."""
+    sd = _strip_module(sd)
+    bb_sd = {k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")}
+    if backbone == "panoswin":
+        bb_params, bb_stats = convert_panoswin_backbone(
+            bb_sd, depths, window_size, src_window_size)
+    else:
+        bb_params, bb_stats = convert_swin_backbone(
+            bb_sd, depths, window_size, src_window_size)
+
+    neck = {}
+    i = 0
+    while f"neck.lateral_convs.{i}.conv.weight" in sd:
+        neck[f"lateral_{i}"] = _conv(sd, f"neck.lateral_convs.{i}.conv")
+        neck[f"fpn_{i}"] = _conv(sd, f"neck.fpn_convs.{i}.conv")
+        i += 1
+
+    rpn = {
+        "rpn_conv": _conv(sd, "rpn_head.rpn_conv"),
+        "rpn_cls": _conv(sd, "rpn_head.rpn_cls"),
+        "rpn_reg": _conv(sd, "rpn_head.rpn_reg"),
+    }
+
+    bbox_head = {
+        "shared_fc0": _fc_from_chw(sd, "roi_head.bbox_head.shared_fcs.0"),
+        "shared_fc1": _linear(sd, "roi_head.bbox_head.shared_fcs.1"),
+        "fc_cls": _linear(sd, "roi_head.bbox_head.fc_cls"),
+        "fc_reg": _linear(sd, "roi_head.bbox_head.fc_reg"),
+    }
+
+    params = {"backbone_m": bb_params, "neck_m": neck, "rpn_m": rpn,
+              "bbox_head_m": bbox_head}
+    stats = {"backbone_m": bb_stats} if bb_stats else {}
+    return params, stats
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Any]:
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        return ckpt["state_dict"]
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        return ckpt["model"]
+    return ckpt

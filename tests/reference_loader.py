@@ -22,6 +22,79 @@ _STUBS = {
 }
 
 
+def _stub(name, attrs=None):
+    import types as _t
+    m = _t.ModuleType(name)
+    for k, v in (attrs or {}).items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def load_reference_panoswin():
+    """Import the reference SimplePanoSwinTransformer under torch CPU by
+    stubbing its heavy deps (timm/mmcv/fvcore/thop).  Returns the module or
+    None."""
+    try:
+        if load_reference() is None:
+            return None
+        import torch
+        import torch.nn as nn
+
+        def to_2tuple(x):
+            return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
+
+        def trunc_normal_(t, std=1.0, **kw):
+            with torch.no_grad():
+                t.normal_(0, std).clamp_(-2 * std, 2 * std)
+            return t
+
+        class DropPath(nn.Module):
+            def __init__(self, p=0.0):
+                super().__init__()
+
+            def forward(self, x):
+                return x
+
+        class Registry:
+            def __init__(self, name):
+                pass
+
+            def register_module(self, *a, **k):
+                return lambda c: c
+
+        if "timm" not in sys.modules:
+            timm = _stub("timm")
+            tm = _stub("timm.models")
+            tml = _stub("timm.models.layers", {
+                "DropPath": DropPath, "to_2tuple": to_2tuple,
+                "trunc_normal_": trunc_normal_})
+            timm.models = tm
+            tm.layers = tml
+        if "mmcv" not in sys.modules:
+            mmcv = _stub("mmcv")
+            mmcv.utils = _stub("mmcv.utils", {"Registry": Registry})
+        _stub("mmcv_custom", {"load_checkpoint": lambda *a, **k: None})
+        if "mmdet" not in sys.modules:
+            mmdet = _stub("mmdet")
+            mmdet.utils = _stub("mmdet.utils",
+                                {"get_root_logger": lambda *a, **k: None})
+        fv = _stub("fvcore")
+        fv.nn = _stub("fvcore.nn", {"FlopCountAnalysis": object,
+                                    "parameter_count_table": object})
+        _stub("thop", {"profile": object})
+
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "ref_simple_panoswin",
+            REFERENCE_ROOT + "/mmdet/models/backbones/simple_panoswin_transformer.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    except Exception:
+        return None
+
+
 def load_reference():
     """Returns the dict of reference modules, or None if unavailable."""
     try:

@@ -1,0 +1,96 @@
+"""Checkpoint conversion + golden feature parity vs the reference PanoSwin.
+
+The strongest correctness check in the suite: the actual reference
+`SimplePanoSwinTransformer` (torch CPU, heavy deps stubbed) is run on a
+random image, its state_dict converted to flax, and our backbone must
+reproduce the per-stage features (BASELINE config 3 protocol).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from panoswintransformerobjectdetection_tpu.models.panoswin import PanoSwinTransformer
+from panoswintransformerobjectdetection_tpu.runtime.checkpoint import (
+    convert_panoswin_backbone, resize_bias_table,
+)
+from reference_loader import load_reference_panoswin
+
+REF = load_reference_panoswin()
+
+CFG = dict(patch_size=4, embed_dim=6, depths=(2, 2), num_heads=(1, 2),
+           window_size=4, ape=True, out_indices=(0, 1), drop_path_rate=0.0)
+
+
+def _build_pair(pano_mode, depths=(2, 2)):
+    import torch
+    torch.manual_seed(0)
+    cfg = dict(CFG, depths=depths)
+    ref = REF.SimplePanoSwinTransformer(
+        patch_size=cfg["patch_size"], in_chans=3, embed_dim=cfg["embed_dim"],
+        depths=list(depths), num_heads=list(cfg["num_heads"]),
+        window_size=cfg["window_size"], ape=True, pano_mode=pano_mode,
+        out_indices=tuple(cfg["out_indices"]), drop_path_rate=0.0)
+    ref.eval()
+    params, stats = convert_panoswin_backbone(
+        ref.state_dict(), depths, window_size=cfg["window_size"])
+    ours = PanoSwinTransformer(pano_mode=pano_mode, in_chans=3, **cfg)
+    return ref, ours, {"params": params, "batch_stats": stats}
+
+
+@pytest.mark.skipif(REF is None, reason="reference panoswin unavailable")
+class TestPanoSwinParity:
+    @pytest.mark.parametrize("pano", [False, True])
+    def test_feature_parity(self, rng, pano):
+        import torch
+        ref, ours, variables = _build_pair(pano)
+        x = rng.random((1, 3, 32, 64)).astype(np.float32)
+        with torch.no_grad():
+            ref_outs = ref(torch.tensor(x))
+        our_outs = ours.apply(variables, jnp.asarray(np.moveaxis(x, 1, -1)))
+        assert len(ref_outs) == len(our_outs)
+        for r, o in zip(ref_outs, our_outs):
+            r = r.numpy()                       # (B, C, H, W)
+            o = np.moveaxis(np.asarray(o), -1, 1)
+            assert r.shape == o.shape, (r.shape, o.shape)
+            err = np.abs(r - o).max()
+            assert err < 2e-4, f"max err {err} (pano={pano})"
+
+    def test_pitch_attention_parity(self, rng):
+        """The reference's pitch attention crashes as-is
+        (`simple_panoswin_transformer.py:1038` passes `with_uv=True`, which
+        `lzx/pano_rotate.py:169` does not accept — SURVEY.md §7).  We shim
+        the intended call (rotate the feature+uv channel stack, discard the
+        extra returns) and compare against our implementation of the
+        intended behavior."""
+        import torch
+        orig = REF.pano_rotate_image
+
+        def shim(bcwh, np_uv, with_uv=False):
+            out, _ = orig(bcwh, np_uv)
+            return out, None, None
+
+        REF.pano_rotate_image = shim
+        try:
+            ref, ours, variables = _build_pair(True, depths=(3, 2))
+        finally:
+            pass
+        x = rng.random((1, 3, 32, 64)).astype(np.float32)
+        with torch.no_grad():
+            ref_outs = ref(torch.tensor(x))
+        our_outs = ours.apply(variables, jnp.asarray(np.moveaxis(x, 1, -1)))
+        for r, o in zip(ref_outs, our_outs):
+            err = np.abs(r.numpy() - np.moveaxis(np.asarray(o), -1, 1)).max()
+            assert err < 2e-3, f"pitch parity err {err}"
+
+
+class TestBiasTableResize:
+    def test_identity(self, rng):
+        t = rng.random((49, 3)).astype(np.float32)
+        np.testing.assert_array_equal(resize_bias_table(t, 4, 4), t)
+
+    def test_resize_shape(self, rng):
+        t = rng.random((169, 4)).astype(np.float32)  # (2*7-1)^2
+        out = resize_bias_table(t, 7, 12)
+        assert out.shape == (23 * 23, 4)
