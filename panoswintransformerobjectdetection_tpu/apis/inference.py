@@ -1,0 +1,112 @@
+"""Inference API (`mmdet/apis/inference.py:16,90` analogues).
+
+`init_detector(config, checkpoint)` builds the flax detector and loads
+weights (orbax state or a converted torch .pth);
+`inference_detector(model, variables, img)` runs the test pipeline + jitted
+`simple_test` and returns per-class numpy boxes like the reference.
+"""
+
+import functools
+from typing import Optional, Union
+
+import numpy as np
+
+from ..models import DETECTORS, build
+from ..runtime.config import Config, load_config
+
+
+def build_detector_from_cfg(cfg: dict):
+    model_cfg = dict(cfg["model"])
+    return build(DETECTORS, model_cfg)
+
+
+def init_detector(config: Union[str, dict], checkpoint: Optional[str] = None,
+                  seed: int = 0):
+    """Returns (detector, variables)."""
+    import jax
+    import jax.numpy as jnp
+    if isinstance(config, str):
+        config = load_config(config)
+    det = build_detector_from_cfg(config)
+    sample = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    variables = det.init(jax.random.PRNGKey(seed), sample)
+    if checkpoint:
+        variables = load_weights(det, variables, checkpoint, config)
+    return det, variables
+
+
+def load_weights(det, variables, checkpoint: str, config: Optional[dict] = None):
+    import jax
+    if checkpoint.endswith((".pth", ".pt")):
+        from ..runtime.checkpoint import load_torch_state_dict, convert_detector
+        sd = load_torch_state_dict(checkpoint)
+        bb = (config or {}).get("model", {}).get("backbone", {})
+        params, stats = convert_detector(
+            sd, depths=tuple(bb.get("depths", (2, 2, 6, 2))),
+            window_size=bb.get("window_size", 7),
+            backbone="panoswin" if "Pano" in bb.get("type", "") else "swin")
+        new_vars = dict(variables)
+        new_vars["params"] = params
+        if stats:
+            new_vars["batch_stats"] = stats
+        return new_vars
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(checkpoint, item=jax.device_get(dict(variables)))
+    return restored
+
+
+def _default_test_pipeline(img_norm=None):
+    from ..data.transforms import Resize, Normalize, Pad, Compose
+    img_norm = img_norm or {"mean": [123.675, 116.28, 103.53],
+                            "std": [58.395, 57.12, 57.375], "to_rgb": True}
+    return Compose([
+        Resize(img_scale=(800, 1333)),
+        Normalize(**img_norm),
+        Pad(size_divisor=32),
+    ])
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_simple_test(det):
+    import jax
+
+    def fn(variables, images, img_shapes, scale_factors):
+        return det.apply(variables, images, img_shapes, scale_factors,
+                         method=det.simple_test)
+
+    return jax.jit(fn)
+
+
+def inference_detector(det, variables, img, pipeline=None, num_classes=None):
+    """img: path or HWC BGR uint8/float numpy array.
+
+    Returns list[np.ndarray (k, 5)] per class — the reference's
+    `bbox2result` format (x1, y1, x2, y2, score).
+    """
+    import cv2
+    import jax.numpy as jnp
+    if isinstance(img, str):
+        img = cv2.imread(img, cv2.IMREAD_COLOR)
+    results = {"img": img.astype(np.float32), "img_shape": img.shape,
+               "ori_shape": img.shape, "scale_factor": np.ones(4, np.float32)}
+    pipeline = pipeline or _default_test_pipeline()
+    results = pipeline(results)
+    im = results["img"]
+    images = jnp.asarray(im[None])
+    img_shapes = jnp.asarray(
+        np.array([[results["img_shape"][0], results["img_shape"][1]]], np.float32))
+    scale_factors = jnp.asarray(results["scale_factor"][None])
+    out = _jitted_simple_test(det)(variables, images, img_shapes, scale_factors)
+
+    boxes = np.asarray(out.boxes[0])
+    scores = np.asarray(out.scores[0])
+    labels = np.asarray(out.labels[0])
+    mask = np.asarray(out.mask[0])
+    nc = num_classes or getattr(det, "num_classes", int(labels.max()) + 1 if mask.any() else 1)
+    per_class = []
+    for c in range(nc):
+        sel = mask & (labels == c)
+        per_class.append(
+            np.concatenate([boxes[sel], scores[sel, None]], axis=1).astype(np.float32))
+    return per_class

@@ -1,0 +1,98 @@
+"""Training API (`mmdet/apis/train.py:42 train_detector` analogue).
+
+Orchestrates: loader -> sharded pjit train step -> periodic logging /
+checkpointing / eval — the role of mmcv's EpochBasedRunner + hook system,
+expressed as a plain loop (the step itself is one fused XLA program; hooks
+become in-loop callbacks).
+"""
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger("panoswin_tpu")
+
+
+def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
+                   batch_size: int = 2, base_lr: float = 1e-4,
+                   weight_decay: float = 0.05, warmup_iters: int = 500,
+                   decay_epochs=(8, 11), grad_clip: float = 0.0,
+                   accumulate_steps: int = 1, max_gt: int = 100,
+                   log_interval: int = 50, checkpoint_interval: int = 1,
+                   eval_fn: Optional[Callable] = None, seed: int = 0,
+                   resume_from: Optional[str] = None):
+    """Returns the final TrainState."""
+    import jax
+    import jax.numpy as jnp
+    from ..data.loader import DetDataLoader
+    from ..parallel import make_mesh, shard_batch
+    from ..runtime import create_train_state, make_train_step, make_optimizer
+    from ..runtime.train import jit_train_step, place_state
+    from ..runtime.checkpoint import save_checkpoint, load_checkpoint
+
+    os.makedirs(work_dir, exist_ok=True)
+    fh = logging.FileHandler(os.path.join(work_dir, "train.log"))
+    fh.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
+    logger.addHandler(fh)
+    logger.setLevel(logging.INFO)
+    json_log = open(os.path.join(work_dir, "train.log.json"), "a")
+
+    # use as many devices as divide the global batch
+    devices = jax.devices()
+    n_use = max(d for d in range(1, len(devices) + 1) if batch_size % d == 0)
+    mesh = make_mesh(devices[:n_use])
+    loader = DetDataLoader(dataset, batch_size=batch_size, max_gt=max_gt, seed=seed)
+    steps_per_epoch = max(len(loader), 1)
+    decay_steps = tuple(int(e * steps_per_epoch) for e in decay_epochs)
+
+    sample = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    init_params = det.init(jax.random.PRNGKey(seed), sample)["params"]
+    tx = make_optimizer(init_params, base_lr=base_lr, weight_decay=weight_decay,
+                        warmup_iters=warmup_iters, decay_steps=decay_steps,
+                        grad_clip=grad_clip, accumulate_steps=accumulate_steps)
+    state = create_train_state(det, jax.random.PRNGKey(seed), sample, tx)
+    start_epoch = 0
+    if resume_from:
+        state = load_checkpoint(resume_from, state)
+        start_epoch = int(state.step) // steps_per_epoch
+        logger.info("resumed from %s at step %d", resume_from, int(state.step))
+    state = place_state(mesh, state)
+    step_fn = jit_train_step(make_train_step(det), mesh)
+    rng = jax.random.PRNGKey(seed + 1)
+
+    with mesh:
+        for epoch in range(start_epoch, total_epochs):
+            t0 = time.time()
+            for i, batch in enumerate(loader):
+                b = shard_batch(mesh, {k: batch[k] for k in
+                                       ("images", "img_shapes", "gt_boxes",
+                                        "gt_labels", "gt_valid")})
+                state, metrics = step_fn(state, b, rng)
+                if (i + 1) % log_interval == 0:
+                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    m.update(epoch=epoch + 1, iter=i + 1,
+                             time=round((time.time() - t0) / (i + 1), 3))
+                    logger.info("Epoch [%d][%d/%d] %s", epoch + 1, i + 1,
+                                steps_per_epoch,
+                                " ".join(f"{k}: {v:.4f}" for k, v in m.items()
+                                         if isinstance(v, float)))
+                    json_log.write(json.dumps(m) + "\n")
+                    json_log.flush()
+            if (epoch + 1) % checkpoint_interval == 0:
+                path = os.path.join(work_dir, f"epoch_{epoch + 1}")
+                save_checkpoint(os.path.abspath(path), state)
+                latest = os.path.join(work_dir, "latest")
+                if os.path.islink(latest):
+                    os.unlink(latest)
+                if not os.path.exists(latest):
+                    os.symlink(os.path.abspath(path), latest)
+            if eval_fn is not None:
+                metrics = eval_fn(state)
+                logger.info("Eval epoch %d: %s", epoch + 1, metrics)
+                json_log.write(json.dumps({"epoch": epoch + 1, **metrics}) + "\n")
+                json_log.flush()
+    return state

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Train a detector from a config file (reference `tools/train.py` analogue).
+
+    python tools/train.py configs/panoswin/faster_rcnn_panoswin_tiny_patch4_window7_streetwin.py \
+        --work-dir work_dirs/streetwin
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from panoswintransformerobjectdetection_tpu.runtime.config import (
+        load_config, set_by_dotted)
+    from panoswintransformerobjectdetection_tpu.apis.inference import (
+        build_detector_from_cfg)
+    from panoswintransformerobjectdetection_tpu.apis.train import train_detector
+    from panoswintransformerobjectdetection_tpu.apis.test import single_device_test
+    from panoswintransformerobjectdetection_tpu.data.builder import build_dataset
+
+    cfg = load_config(args.config)
+    for opt in args.cfg_options:
+        k, v = opt.split("=", 1)
+        try:
+            import ast
+            v = ast.literal_eval(v)
+        except Exception:
+            pass
+        set_by_dotted(cfg, k, v)
+
+    work_dir = args.work_dir or os.path.join(
+        "work_dirs", os.path.splitext(os.path.basename(args.config))[0])
+
+    if "classes" in cfg:
+        for split in ("train", "val", "test"):
+            cfg["data"][split]["classes"] = cfg["classes"]
+
+    det = build_detector_from_cfg(cfg)
+    dataset = build_dataset(cfg["data"]["train"])
+
+    eval_fn = None
+    if cfg["data"].get("val"):
+        val_ds = build_dataset(cfg["data"]["val"])
+
+        def eval_fn(state):
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            dets = single_device_test(det, variables, val_ds)
+            return val_ds.evaluate(dets)
+
+    sched = cfg.get("lr_config", {})
+    opt = cfg.get("optimizer", {})
+    train_detector(
+        det, dataset,
+        work_dir=work_dir,
+        total_epochs=cfg.get("runner", {}).get("max_epochs", 12),
+        batch_size=cfg.get("data", {}).get("samples_per_gpu", 2),
+        base_lr=opt.get("lr", 1e-4),
+        weight_decay=opt.get("weight_decay", 0.05),
+        warmup_iters=sched.get("warmup_iters", 500),
+        decay_epochs=tuple(sched.get("step", (8, 11))),
+        checkpoint_interval=cfg.get("checkpoint_config", {}).get("interval", 1),
+        log_interval=cfg.get("log_config", {}).get("interval", 50),
+        eval_fn=eval_fn,
+        seed=args.seed,
+        resume_from=args.resume_from,
+    )
+
+
+if __name__ == "__main__":
+    main()
