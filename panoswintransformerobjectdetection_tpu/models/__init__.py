@@ -6,6 +6,8 @@ from . import swin  # noqa: F401
 from . import fpn  # noqa: F401
 from . import rpn_head  # noqa: F401
 from . import roi_head  # noqa: F401
+from . import mask_head  # noqa: F401
+from . import resnet  # noqa: F401
 from . import detectors  # noqa: F401
 
 __all__ = ["BACKBONES", "NECKS", "HEADS", "DETECTORS", "LOSSES", "build", "register"]

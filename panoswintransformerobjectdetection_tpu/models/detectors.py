@@ -20,11 +20,15 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..core.anchors import AnchorGenerator
+from ..core.bbox import bbox_overlaps
 from .registry import BACKBONES, NECKS, DETECTORS, build
 from .rpn_head import RPNHead, rpn_loss, rpn_proposals, Proposals
 from .roi_head import (
     Shared2FCBBoxHead, multilevel_roi_align, sample_rois_for_training,
     bbox_head_loss, bbox_head_detections,
+)
+from .mask_head import (
+    FCNMaskHead, mask_targets_from_bitmaps, mask_head_loss, paste_masks,
 )
 
 
@@ -62,6 +66,8 @@ class TwoStageDetector(nn.Module):
     train_cfg: Optional[dict] = None
     test_cfg: Optional[dict] = None
     featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
+    with_mask: bool = False
+    mask_roi_size: int = 14
 
     def setup(self):
         self.backbone_m = build(BACKBONES, self.backbone)
@@ -72,6 +78,8 @@ class TwoStageDetector(nn.Module):
         self.rpn_m = RPNHead(
             num_anchors=len(self.anchor_scales) * len(self.anchor_ratios))
         self.bbox_head_m = Shared2FCBBoxHead(num_classes=self.num_classes)
+        if self.with_mask:
+            self.mask_head_m = FCNMaskHead(num_classes=self.num_classes)
         self.anchor_gen = AnchorGenerator(
             strides=self.anchor_strides, ratios=self.anchor_ratios,
             scales=self.anchor_scales)
@@ -98,11 +106,16 @@ class TwoStageDetector(nn.Module):
         roi_feats = multilevel_roi_align(feats[:4], dummy_rois,
                                          strides=self.featmap_strides)
         cls, reg = self.bbox_head_m(roi_feats)
+        if self.with_mask:
+            mfeats = multilevel_roi_align(feats[:4], dummy_rois,
+                                          strides=self.featmap_strides,
+                                          out_size=self.mask_roi_size)
+            self.mask_head_m(mfeats)
         return feats, (cls_scores, bbox_preds), (cls, reg)
 
     # -------------------------------------------------------------- training
     def forward_train(self, images, img_shapes, gt_boxes, gt_labels,
-                      gt_valid) -> Dict[str, jnp.ndarray]:
+                      gt_valid, gt_masks=None) -> Dict[str, jnp.ndarray]:
         """images: (B, H, W, 3); img_shapes: (B, 2) unpadded (h, w);
         gt_boxes: (B, G, 4) xyxy; gt_labels: (B, G); gt_valid: (B, G)."""
         tc = self.train_cfg or default_train_cfg()
@@ -136,6 +149,31 @@ class TwoStageDetector(nn.Module):
                                          strides=self.featmap_strides)
         cls, reg = self.bbox_head_m(roi_feats)
         losses_out.update(bbox_head_loss(cls, reg, samples, self.num_classes))
+
+        if self.with_mask and gt_masks is not None:
+            # positives live in the first pos_cap slots of each image's
+            # sample block (see sample_rois_for_training)
+            pos_cap = int(tc["rcnn"]["num_samples"] * tc["rcnn"]["pos_fraction"])
+            pos_rois = samples.rois[:, :pos_cap]                  # (B, Pc, 5)
+            pos_w = samples.bbox_weights[:, :pos_cap]             # (B, Pc)
+            pos_labels = samples.labels[:, :pos_cap]
+            mfeats = multilevel_roi_align(
+                feats[:4], pos_rois.reshape(-1, 5),
+                strides=self.featmap_strides, out_size=self.mask_roi_size)
+            mlogits = self.mask_head_m(mfeats)                    # (B*Pc, 2s, 2s, C)
+
+            def single_targets(gmasks, rois_i, gts_i, gvalid_i):
+                ious = bbox_overlaps(gts_i, rois_i[:, 1:5])
+                ious = jnp.where(gvalid_i[:, None], ious, -1.0)
+                gidx = ious.argmax(axis=0)
+                return mask_targets_from_bitmaps(
+                    gmasks, rois_i, gidx, out_size=self.mask_roi_size * 2)
+
+            tgts = jax.vmap(single_targets)(
+                gt_masks.astype(jnp.float32), pos_rois, gt_boxes, gt_valid)
+            losses_out["loss_mask"] = mask_head_loss(
+                mlogits, tgts.reshape(-1, *tgts.shape[2:]),
+                pos_labels.reshape(-1), pos_w.reshape(-1))
         return losses_out
 
     # -------------------------------------------------------------- testing
@@ -164,9 +202,40 @@ class TwoStageDetector(nn.Module):
             roi_mask=props.mask, scale_factors=scale_factors, **cfg["rcnn"])
 
 
+    def simple_test_masks(self, images, img_shapes, scale_factors=None):
+        """bbox detections + per-detection mask probabilities
+        (`mask_rcnn` simple_test with masks).  Returns (DetResult,
+        mask_probs (B, K, 2s, 2s)); paste to image size with
+        `mask_head.paste_masks` on the host."""
+        assert self.with_mask
+        dets = self.simple_test(images, img_shapes, scale_factors)
+        feats = self.extract_feat(images, train=False)
+        B, K, _ = dets.boxes.shape
+        boxes_net = dets.boxes
+        if scale_factors is not None:
+            boxes_net = boxes_net * scale_factors[:, None, :]
+        bidx = jnp.broadcast_to(jnp.arange(B, dtype=images.dtype)[:, None], (B, K))
+        rois = jnp.concatenate([bidx[..., None], boxes_net], axis=-1)
+        mfeats = multilevel_roi_align(feats[:4], rois.reshape(B * K, 5),
+                                      strides=self.featmap_strides,
+                                      out_size=self.mask_roi_size)
+        mlogits = self.mask_head_m(mfeats)
+        lab = jnp.clip(dets.labels.reshape(-1), 0, self.num_classes - 1)
+        sel = jnp.take_along_axis(mlogits, lab[:, None, None, None], axis=-1)[..., 0]
+        probs = jax.nn.sigmoid(sel)
+        s2 = self.mask_roi_size * 2
+        return dets, probs.reshape(B, K, s2, s2)
+
+
 # Registry aliases matching the reference's detector type names.
 DETECTORS.register(TwoStageDetector, name="FasterRCNN")
 # `PanoFasterRCNN` (`panofaster_rcnn.py:8`) only differs by threading
 # pano_ratio_v into the backbone; the TPU backbone owns its uv generation,
 # so the orchestration is identical.
 DETECTORS.register(TwoStageDetector, name="PanoFasterRCNN")
+
+
+@DETECTORS.register
+class MaskRCNN(TwoStageDetector):
+    """Faster R-CNN + FCN mask branch (`mask_rcnn.py`)."""
+    with_mask: bool = True

@@ -1,0 +1,135 @@
+"""ResNet / ResNeXt backbones (model-zoo coverage, `mmdet/models/backbones/resnet.py`).
+
+NHWC flax implementation of torchvision-style ResNet as used by mmdet:
+7x7 stem + BN + ReLU + 3x3/2 maxpool, bottleneck stages with stride-2 at
+the first block (style='pytorch': stride on the 3x3), dilation support,
+`frozen_stages` via stop_gradient, outputs the four stage features.
+"""
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .registry import BACKBONES
+
+
+def _bn(name, train):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, name=name)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        identity = x
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=self.dilation, kernel_dilation=self.dilation,
+                    use_bias=False, name="conv1")(x)
+        y = nn.relu(_bn("bn1", train)(y))
+        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(y)
+        y = _bn("bn2", train)(y)
+        if self.downsample:
+            identity = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name="downsample_conv")(x)
+            identity = _bn("downsample_bn", train)(identity)
+        return nn.relu(y + identity)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        identity = x
+        y = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.relu(_bn("bn1", train)(y))
+        # style='pytorch': stride on the 3x3
+        y = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
+                    padding=self.dilation, kernel_dilation=self.dilation,
+                    feature_group_count=self.groups, use_bias=False,
+                    name="conv2")(y)
+        y = nn.relu(_bn("bn2", train)(y))
+        y = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                    name="conv3")(y)
+        y = _bn("bn3", train)(y)
+        if self.downsample:
+            identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name="downsample_conv")(x)
+            identity = _bn("downsample_bn", train)(identity)
+        return nn.relu(y + identity)
+
+
+ARCH = {
+    18: (BasicBlock, (2, 2, 2, 2)),
+    34: (BasicBlock, (3, 4, 6, 3)),
+    50: (Bottleneck, (3, 4, 6, 3)),
+    101: (Bottleneck, (3, 4, 23, 3)),
+    152: (Bottleneck, (3, 8, 36, 3)),
+}
+
+
+@BACKBONES.register
+class ResNet(nn.Module):
+    depth: int = 50
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    frozen_stages: int = -1
+    strides: Sequence[int] = (1, 2, 2, 2)
+    dilations: Sequence[int] = (1, 1, 1, 1)
+    groups: int = 1
+    base_width: int = 64
+    norm_eval: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        block_cls, depths = ARCH[self.depth]
+        bn_train = train and not self.norm_eval
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    name="conv1")(x)
+        x = nn.relu(_bn("bn1", bn_train)(x))
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
+
+        outs = []
+        for i, d in enumerate(depths):
+            planes = 64 * 2 ** i
+            for j in range(d):
+                stride = self.strides[i] if j == 0 else 1
+                exp = getattr(block_cls, "expansion", 1) if block_cls is Bottleneck else 1
+                need_ds = j == 0 and (stride != 1 or i > 0 or block_cls is Bottleneck)
+                x = block_cls(planes=planes, stride=stride,
+                              dilation=self.dilations[i],
+                              downsample=need_ds, groups=self.groups,
+                              base_width=self.base_width,
+                              name=f"layer{i + 1}_{j}")(x, train=bn_train)
+            if self.frozen_stages >= i + 1:
+                x = jax.lax.stop_gradient(x)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)
+
+
+@BACKBONES.register
+class ResNeXt(ResNet):
+    groups: int = 32
+    base_width: int = 4
