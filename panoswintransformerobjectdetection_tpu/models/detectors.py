@@ -68,16 +68,24 @@ class TwoStageDetector(nn.Module):
     featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
     with_mask: bool = False
     mask_roi_size: int = 14
+    compute_dtype: Any = None   # e.g. "bfloat16": MXU-friendly mixed precision
 
     def setup(self):
-        self.backbone_m = build(BACKBONES, self.backbone)
-        neck_cfg = self.neck or {"type": "FPN",
-                                 "in_channels": (96, 192, 384, 768),
-                                 "out_channels": 256, "num_outs": 5}
+        bb_cfg = dict(self.backbone)
+        if self.compute_dtype is not None:
+            bb_cfg.setdefault("dtype", self.compute_dtype)
+        self.backbone_m = build(BACKBONES, bb_cfg)
+        neck_cfg = dict(self.neck or {"type": "FPN",
+                                      "in_channels": (96, 192, 384, 768),
+                                      "out_channels": 256, "num_outs": 5})
+        if self.compute_dtype is not None:
+            neck_cfg.setdefault("dtype", self.compute_dtype)
         self.neck_m = build(NECKS, neck_cfg)
         self.rpn_m = RPNHead(
-            num_anchors=len(self.anchor_scales) * len(self.anchor_ratios))
-        self.bbox_head_m = Shared2FCBBoxHead(num_classes=self.num_classes)
+            num_anchors=len(self.anchor_scales) * len(self.anchor_ratios),
+            dtype=self.compute_dtype)
+        self.bbox_head_m = Shared2FCBBoxHead(num_classes=self.num_classes,
+                                             dtype=self.compute_dtype)
         if self.with_mask:
             self.mask_head_m = FCNMaskHead(num_classes=self.num_classes)
         self.anchor_gen = AnchorGenerator(

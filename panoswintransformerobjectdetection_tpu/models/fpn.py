@@ -7,11 +7,12 @@ Nearest upsampling uses floor-index gather to match
 `F.interpolate(mode='nearest')` exactly.
 """
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .layers import resolve_dtype
 from .registry import NECKS
 
 
@@ -36,21 +37,25 @@ class FPN(nn.Module):
     start_level: int = 0
     add_extra_convs: bool = False
     relu_before_extra_convs: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feats):
         """feats: tuple of NHWC maps, len == len(in_channels)."""
         assert len(feats) == len(self.in_channels)
+        dt = resolve_dtype(self.dtype)
         used = feats[self.start_level:]
+        if dt is not None:
+            used = [f.astype(dt) for f in used]
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f"lateral_{i}")(f)
+            nn.Conv(self.out_channels, (1, 1), dtype=dt, name=f"lateral_{i}")(f)
             for i, f in enumerate(used)
         ]
         for i in range(len(laterals) - 1, 0, -1):
             h, w = laterals[i - 1].shape[1:3]
             laterals[i - 1] = laterals[i - 1] + nearest_upsample(laterals[i], h, w)
         outs = [
-            nn.Conv(self.out_channels, (3, 3), padding=1, name=f"fpn_{i}")(l)
+            nn.Conv(self.out_channels, (3, 3), padding=1, dtype=dt, name=f"fpn_{i}")(l)
             for i, l in enumerate(laterals)
         ]
         if self.num_outs > len(outs):
@@ -64,5 +69,5 @@ class FPN(nn.Module):
                     if self.relu_before_extra_convs and i > 0:
                         src = nn.relu(src)
                     outs.append(nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                                        padding=1, name=f"extra_{i}")(src))
+                                        padding=1, dtype=dt, name=f"extra_{i}")(src))
         return tuple(outs)

@@ -4,13 +4,22 @@ Numerics match the torch reference so converted checkpoints reproduce
 outputs: LayerNorm eps 1e-5, exact (erf) GELU, trunc-normal(0.02) init.
 """
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 trunc_init = jax.nn.initializers.truncated_normal(stddev=0.02)
+
+
+def resolve_dtype(dtype):
+    """Accepts None / jnp dtype / 'bfloat16' / 'float32' strings (config
+    files carry strings)."""
+    if isinstance(dtype, str):
+        return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                "float16": jnp.float16}[dtype]
+    return dtype
 
 
 def gelu_exact(x):
@@ -35,14 +44,16 @@ class Mlp(nn.Module):
     hidden_dim: int
     out_dim: Optional[int] = None
     dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         out_dim = self.out_dim or x.shape[-1]
-        x = nn.Dense(self.hidden_dim, kernel_init=trunc_init, name="fc1")(x)
+        dt = resolve_dtype(self.dtype)
+        x = nn.Dense(self.hidden_dim, kernel_init=trunc_init, dtype=dt, name="fc1")(x)
         x = gelu_exact(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        x = nn.Dense(out_dim, kernel_init=trunc_init, name="fc2")(x)
+        x = nn.Dense(out_dim, kernel_init=trunc_init, dtype=dt, name="fc2")(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return x
 
@@ -72,27 +83,33 @@ class ConvStemPatchEmbed(nn.Module):
     patch_size: int = 4
     embed_dim: int = 96
     use_norm: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ps = self.patch_size
+        dt = resolve_dtype(self.dtype)
+        if dt is not None:
+            x = x.astype(dt)
         B, H, W, _ = x.shape
         if W % ps:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, ps - W % ps), (0, 0)))
         if H % ps:
             x = jnp.pad(x, ((0, 0), (0, ps - H % ps), (0, 0), (0, 0)))
         d3 = self.embed_dim // 3
-        x = nn.Conv(d3, (3, 3), padding=1, name="conv0")(x)
+        x = nn.Conv(d3, (3, 3), padding=1, dtype=dt, name="conv0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn0")(x)
         x = nn.relu(x)
-        x = nn.Conv(d3 * 2, (3, 3), padding=1, name="conv1")(x)
+        x = nn.Conv(d3 * 2, (3, 3), padding=1, dtype=dt, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), name="proj")(x)
+        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), dtype=dt, name="proj")(x)
         if self.use_norm:
             x = layer_norm("norm")(x)
+        if dt is not None:
+            x = x.astype(dt)
         return x
 
 
@@ -102,18 +119,24 @@ class SingleConvPatchEmbed(nn.Module):
     patch_size: int = 4
     embed_dim: int = 96
     use_norm: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ps = self.patch_size
+        dt = resolve_dtype(self.dtype)
+        if dt is not None:
+            x = x.astype(dt)
         B, H, W, _ = x.shape
         if W % ps:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, ps - W % ps), (0, 0)))
         if H % ps:
             x = jnp.pad(x, ((0, 0), (0, ps - H % ps), (0, 0), (0, 0)))
-        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), name="proj")(x)
+        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), dtype=dt, name="proj")(x)
         if self.use_norm:
             x = layer_norm("norm")(x)
+        if dt is not None:
+            x = x.astype(dt)
         return x
 
 
@@ -122,6 +145,8 @@ class PatchMerging(nn.Module):
 
     (B, H, W, C) -> (B, ceil(H/2), ceil(W/2), 2C); odd dims zero-padded.
     """
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
@@ -133,5 +158,6 @@ class PatchMerging(nn.Module):
         x3 = x[:, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = layer_norm("norm")(x)
-        x = nn.Dense(2 * C, use_bias=False, kernel_init=trunc_init, name="reduction")(x)
+        x = nn.Dense(2 * C, use_bias=False, kernel_init=trunc_init,
+                     dtype=resolve_dtype(self.dtype), name="reduction")(x)
         return x

@@ -23,7 +23,7 @@ Swin semantics (beta table only, cyclic shift, 9-region mask).
 """
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -39,6 +39,7 @@ from ..ops.windows import (
 )
 from .layers import (
     Mlp, DropPath, ConvStemPatchEmbed, PatchMerging, layer_norm, trunc_init,
+    resolve_dtype,
 )
 from .registry import BACKBONES
 
@@ -84,11 +85,13 @@ class WindowAttention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
+    dtype: Any = None
 
     def setup(self):
+        dt = resolve_dtype(self.dtype)
         self.qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
-                            kernel_init=trunc_init, name="qkv")
-        self.proj = nn.Dense(self.dim, kernel_init=trunc_init, name="proj")
+                            kernel_init=trunc_init, dtype=dt, name="qkv")
+        self.proj = nn.Dense(self.dim, kernel_init=trunc_init, dtype=dt, name="proj")
         t = (2 * self.window_size - 1) ** 2
         self.alpha_table = self.param("alpha_table", trunc_init, (t, self.num_heads))
         self.beta_table = self.param("beta_table", trunc_init, (t, self.num_heads))
@@ -119,37 +122,52 @@ class PanoSwinBlock(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     drop_path: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, uv, pano_mode=True, deterministic=True):
-        """x: (B, H, W, c); uv: (B, H, W, 2) (zeros in planar mode)."""
+        """x: (B, H, W, c); uv: (B, H, W, 2) (zeros in planar mode).
+
+        uv stays f32 side-band even when features run bf16 — the haversine
+        bias needs the angular resolution; both go through the identical
+        layout permutations.
+        """
         B, H, W, c = x.shape
         ws = self.window_size
+        dt = resolve_dtype(self.dtype)
         shortcut = x
         xn = layer_norm("norm1")(x)
+        if dt is not None:
+            xn = xn.astype(dt)
 
-        xu = jnp.concatenate([xn, uv], axis=-1)   # carry uv through the same permutation
         # pano mode applies the ew2ns pole rotation on EVERY block — with
         # shift_size=0 the transition is roll(0) -> ew2ns -> roll(0)
         # (`WindowTransition.forward:393-406` is unconditional in the pano
         # branch of `PanoSwinTransformerBlock.forward:507`)
         if pano_mode:
-            xu = window_transition(xu, self.shift_size, True)
-        SH, SW = xu.shape[1], xu.shape[2]
+            xn = window_transition(xn, self.shift_size, True)
+            uvt = window_transition(uv, self.shift_size, True)
+        else:
+            uvt = uv
+        SH, SW = xn.shape[1], xn.shape[2]
         ph, pw = (-SH) % ws, (-SW) % ws
         if ph or pw:
-            xu = jnp.pad(xu, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            pad = ((0, 0), (0, ph), (0, pw), (0, 0))
+            xn = jnp.pad(xn, pad)
+            uvt = jnp.pad(uvt, pad)
         if (not pano_mode) and self.shift_size > 0:
-            xu = window_transition(xu, self.shift_size, False)
+            xn = window_transition(xn, self.shift_size, False)
+            uvt = window_transition(uvt, self.shift_size, False)
             mask = jnp.asarray(swin_attention_mask(SH + ph, SW + pw, ws, self.shift_size))
         else:
             mask = None
-        Hp, Wp = xu.shape[1], xu.shape[2]
+        Hp, Wp = xn.shape[1], xn.shape[2]
 
-        wins = window_partition(xu, ws).reshape(-1, ws * ws, c + 2)
+        wins = window_partition(xn, ws).reshape(-1, ws * ws, c)
+        uv_wins = window_partition(uvt, ws).reshape(-1, ws * ws, 2)
         attn = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
-                               self.qk_scale, name="attn")(
-            wins[..., :c], wins[..., c:], mask=mask, pano_mode=pano_mode)
+                               self.qk_scale, dtype=self.dtype, name="attn")(
+            wins, uv_wins, mask=mask, pano_mode=pano_mode)
         y = window_reverse(attn.reshape(-1, ws, ws, c), ws, Hp, Wp)
 
         if (not pano_mode) and self.shift_size > 0:
@@ -161,7 +179,7 @@ class PanoSwinBlock(nn.Module):
 
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
         x = x + DropPath(self.drop_path, name="drop_path2")(
-            Mlp(int(self.dim * self.mlp_ratio), name="mlp")(
+            Mlp(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(
                 layer_norm("norm2")(x), deterministic), deterministic)
         return x
 
@@ -287,6 +305,7 @@ class BasicLayer(nn.Module):
     drop_path: Tuple[float, ...] = ()
     downsample: bool = True
     use_checkpoint: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, uv, pano_mode=True, deterministic=True):
@@ -303,6 +322,7 @@ class BasicLayer(nn.Module):
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale,
                 drop_path=self.drop_path[i] if self.drop_path else 0.0,
+                dtype=self.dtype,
                 name=f"blocks_{i}")(x, uv, pano_mode, deterministic)
         if self.depth % 2:
             x = PitchAttention(
@@ -313,12 +333,12 @@ class BasicLayer(nn.Module):
 
         x_out = x
         if self.downsample:
-            x_down = PatchMerging(name="downsample")(x)
+            x_down = PatchMerging(dtype=self.dtype, name="downsample")(x)
             B, H2, W2, _ = x_down.shape
             if pano_mode:
                 uv_down = jnp.broadcast_to(make_uv_grid(H2, W2)[None], (B, H2, W2, 2))
             else:
-                uv_down = jnp.zeros((B, H2, W2, 2), x.dtype)
+                uv_down = jnp.zeros((B, H2, W2, 2), jnp.float32)
             return x_out, x_down, uv_down
         return x_out, x, uv
 
@@ -346,6 +366,7 @@ class PanoSwinTransformer(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     pano_mode: bool = True
     use_checkpoint: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, images, pano_mode: Optional[bool] = None,
@@ -358,7 +379,7 @@ class PanoSwinTransformer(nn.Module):
         deterministic = not train
 
         x = ConvStemPatchEmbed(self.patch_size, self.embed_dim,
-                               use_norm=self.patch_norm,
+                               use_norm=self.patch_norm, dtype=self.dtype,
                                name="patch_embed")(images, train=train)
         B, H, W, C = x.shape
 
@@ -374,7 +395,7 @@ class PanoSwinTransformer(nn.Module):
                                  name="abs_encoder")(xyzuv)[None]
             uv = jnp.broadcast_to(uv_hw2[None], (B, H, W, 2))
         else:
-            uv = jnp.zeros((B, H, W, 2), x.dtype)
+            uv = jnp.zeros((B, H, W, 2), jnp.float32)
             if self.ape:
                 # keep the parameter in the tree so checkpoints round-trip
                 nn.Dense(self.embed_dim, kernel_init=trunc_init,
@@ -392,8 +413,8 @@ class PanoSwinTransformer(nn.Module):
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                 drop_path=tuple(dpr[start:start + self.depths[i]]),
                 downsample=i < num_layers - 1,
-                use_checkpoint=self.use_checkpoint,
+                use_checkpoint=self.use_checkpoint, dtype=self.dtype,
                 name=f"layers_{i}")(x, uv, pano_mode=pano, deterministic=deterministic)
             if i in self.out_indices:
-                outs.append(layer_norm(f"norm{i}")(x_out))
+                outs.append(layer_norm(f"norm{i}")(x_out.astype(jnp.float32)))
         return tuple(outs)

@@ -10,7 +10,7 @@ static shapes (4x gather work instead of dynamic partitions — the TPU
 tradeoff).
 """
 
-from typing import Dict, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,18 +51,25 @@ class Shared2FCBBoxHead(nn.Module):
     num_classes: int = 80
     fc_out_channels: int = 1024
     reg_class_agnostic: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray):
         """roi_feats: (R, o, o, C) -> (cls (R, C+1), reg (R, 4C or 4))."""
+        from .layers import resolve_dtype
+        dt = resolve_dtype(self.dtype)
         x = roi_feats.reshape(roi_feats.shape[0], -1)
+        if dt is not None:
+            x = x.astype(dt)
         x = nn.relu(nn.Dense(self.fc_out_channels, kernel_init=trunc_init,
-                             name="shared_fc0")(x))
+                             dtype=dt, name="shared_fc0")(x))
         x = nn.relu(nn.Dense(self.fc_out_channels, kernel_init=trunc_init,
-                             name="shared_fc1")(x))
-        cls = nn.Dense(self.num_classes + 1, kernel_init=trunc_init, name="fc_cls")(x)
+                             dtype=dt, name="shared_fc1")(x))
+        cls = nn.Dense(self.num_classes + 1, kernel_init=trunc_init, dtype=dt,
+                       name="fc_cls")(x).astype(jnp.float32)
         reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
-        reg = nn.Dense(reg_dim, kernel_init=trunc_init, name="fc_reg")(x)
+        reg = nn.Dense(reg_dim, kernel_init=trunc_init, dtype=dt,
+                       name="fc_reg")(x).astype(jnp.float32)
         return cls, reg
 
 

@@ -7,7 +7,7 @@ flax module; targets/loss/proposals are pure jit functions vmapped over the
 batch — no per-image Python loops.
 """
 
-from typing import Dict, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,17 +29,21 @@ class RPNHead(nn.Module):
     in_channels: int = 256
     feat_channels: int = 256
     num_anchors: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feats: Tuple[jnp.ndarray, ...]):
+        from .layers import resolve_dtype
+        dt = resolve_dtype(self.dtype)
         cls_out, reg_out = [], []
-        conv = nn.Conv(self.feat_channels, (3, 3), padding=1, name="rpn_conv")
-        cls = nn.Conv(self.num_anchors, (1, 1), name="rpn_cls")
-        reg = nn.Conv(self.num_anchors * 4, (1, 1), name="rpn_reg")
+        conv = nn.Conv(self.feat_channels, (3, 3), padding=1, dtype=dt, name="rpn_conv")
+        cls = nn.Conv(self.num_anchors, (1, 1), dtype=dt, name="rpn_cls")
+        reg = nn.Conv(self.num_anchors * 4, (1, 1), dtype=dt, name="rpn_reg")
         for f in feats:
-            t = nn.relu(conv(f))
-            cls_out.append(cls(t))
-            reg_out.append(reg(t))
+            t = nn.relu(conv(f if dt is None else f.astype(dt)))
+            # decode/NMS numerics stay f32
+            cls_out.append(cls(t).astype(jnp.float32))
+            reg_out.append(reg(t).astype(jnp.float32))
         return tuple(cls_out), tuple(reg_out)
 
 

@@ -7,7 +7,7 @@ reproduces stock Swin so converted COCO checkpoints (Swin-T/S/B Mask/Cascade
 R-CNN) yield identical features.
 """
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import numpy as np
 import jax
@@ -18,7 +18,8 @@ from ..ops.windows import (
     window_partition, window_reverse, make_relative_position_index,
     swin_attention_mask,
 )
-from .layers import Mlp, DropPath, SingleConvPatchEmbed, PatchMerging, layer_norm, trunc_init
+from .layers import (Mlp, DropPath, SingleConvPatchEmbed, PatchMerging,
+                     layer_norm, trunc_init, resolve_dtype)
 from .registry import BACKBONES
 
 
@@ -29,15 +30,17 @@ class SwinWindowAttention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x_windows, mask=None):
+        dt = resolve_dtype(self.dtype)
         n, O, c = x_windows.shape
         h = self.num_heads
         hd = c // h
         scale = self.qk_scale or hd ** -0.5
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=trunc_init,
-                       name="qkv")(x_windows)
+                       dtype=dt, name="qkv")(x_windows)
         qkv = qkv.reshape(n, O, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         t = (2 * self.window_size - 1) ** 2
@@ -55,7 +58,7 @@ class SwinWindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("nhqk,nhkd->nhqd", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(n, O, c)
-        return nn.Dense(c, kernel_init=trunc_init, name="proj")(out)
+        return nn.Dense(c, kernel_init=trunc_init, dtype=dt, name="proj")(out)
 
 
 class SwinBlock(nn.Module):
@@ -67,13 +70,17 @@ class SwinBlock(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     drop_path: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         B, H, W, c = x.shape
         ws = self.window_size
+        dt = resolve_dtype(self.dtype)
         shortcut = x
         xn = layer_norm("norm1")(x)
+        if dt is not None:
+            xn = xn.astype(dt)
         ph, pw = (-H) % ws, (-W) % ws
         if ph or pw:
             xn = jnp.pad(xn, ((0, 0), (0, ph), (0, pw), (0, 0)))
@@ -85,14 +92,15 @@ class SwinBlock(nn.Module):
             mask = None
         wins = window_partition(xn, ws).reshape(-1, ws * ws, c)
         attn = SwinWindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
-                                   self.qk_scale, name="attn")(wins, mask)
+                                   self.qk_scale, dtype=self.dtype,
+                                   name="attn")(wins, mask)
         y = window_reverse(attn.reshape(-1, ws, ws, c), ws, Hp, Wp)
         if self.shift_size > 0:
             y = jnp.roll(y, shift=(self.shift_size, self.shift_size), axis=(1, 2))
         y = y[:, :H, :W, :]
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
         x = x + DropPath(self.drop_path, name="drop_path2")(
-            Mlp(int(self.dim * self.mlp_ratio), name="mlp")(
+            Mlp(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(
                 layer_norm("norm2")(x), deterministic), deterministic)
         return x
 
@@ -115,12 +123,13 @@ class SwinTransformer(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     pretrain_img_size: int = 224
     use_checkpoint: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, images, train: bool = False):
         deterministic = not train
         x = SingleConvPatchEmbed(self.patch_size, self.embed_dim,
-                                 use_norm=self.patch_norm,
+                                 use_norm=self.patch_norm, dtype=self.dtype,
                                  name="patch_embed")(images, train=train)
         B, H, W, C = x.shape
         if self.ape:
@@ -144,9 +153,10 @@ class SwinTransformer(nn.Module):
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                     qk_scale=self.qk_scale,
                     drop_path=dpr[sum(self.depths[:i]) + d],
+                    dtype=self.dtype,
                     name=f"layers_{i}_blocks_{d}")(x, deterministic)
             if i in self.out_indices:
-                outs.append(layer_norm(f"norm{i}")(x))
+                outs.append(layer_norm(f"norm{i}")(x.astype(jnp.float32)))
             if i < num_layers - 1:
-                x = PatchMerging(name=f"layers_{i}_downsample")(x)
+                x = PatchMerging(dtype=self.dtype, name=f"layers_{i}_downsample")(x)
         return tuple(outs)
