@@ -13,18 +13,23 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
     import jax.numpy as jnp
     from __graft_entry__ import _flagship
 
     B, H, W = 4, 512, 1024
-    det = _flagship()
+    det = _flagship(compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"))
     rng = jax.random.PRNGKey(0)
     images = jnp.asarray(np.random.default_rng(0).random((B, H, W, 3)), jnp.float32)
     variables = det.init(rng, images[:1])
