@@ -18,7 +18,7 @@ from ..core.bbox import bbox_overlaps, delta_encode, delta_decode
 from ..core.assigner import max_iou_assign
 from ..core.sampler import random_sample
 from ..core import losses
-from ..ops.nms import batched_nms, NEG_INF
+from ..ops.nms import nms, batched_nms, NEG_INF
 from .registry import HEADS
 
 
@@ -149,18 +149,43 @@ def rpn_proposals(cls_scores, bbox_preds, level_anchors, img_shapes,
         lvl_boxes.append(boxes)
         lvl_ids.append(jnp.full((B, k), lv, jnp.int32))
 
-    scores = jnp.concatenate(lvl_scores, axis=1)
-    boxes = jnp.concatenate(lvl_boxes, axis=1)
-    ids = jnp.concatenate(lvl_ids, axis=1)
-    valid = scores > NEG_INF / 2
+    # Level-wise NMS (mmdet batched_nms with level ids => no cross-level
+    # suppression) is run as independent per-(image, level) NMS, vmapped —
+    # shorter candidate lists and full parallelism across levels.
+    kmax = max(sc.shape[1] for sc in lvl_scores)
+
+    def padk(x, fill):
+        k = x.shape[1]
+        if k == kmax:
+            return x
+        pad_width = ((0, 0), (0, kmax - k)) + ((0, 0),) * (x.ndim - 2)
+        return jnp.pad(x, pad_width, constant_values=fill)
+
+    scores_l = jnp.stack([padk(s, NEG_INF) for s in lvl_scores])   # (L, B, k)
+    boxes_l = jnp.stack([padk(b, 0.0) for b in lvl_boxes])         # (L, B, k, 4)
+    L = scores_l.shape[0]
+    valid_l = scores_l > NEG_INF / 2
     if min_bbox_size > 0:
-        wh_ok = ((boxes[..., 2] - boxes[..., 0]) > min_bbox_size) & \
-                ((boxes[..., 3] - boxes[..., 1]) > min_bbox_size)
-        valid = valid & wh_ok
+        wh_ok = ((boxes_l[..., 2] - boxes_l[..., 0]) > min_bbox_size) & \
+                ((boxes_l[..., 3] - boxes_l[..., 1]) > min_bbox_size)
+        valid_l = valid_l & wh_ok
 
-    def single(b, s, i, v):
-        r = batched_nms(b, s, i, iou_threshold, max_per_img, v)
-        return r.boxes, jnp.where(r.mask, r.scores, 0.0), r.mask
+    keep_out = min(max_per_img, kmax)
 
-    pb, ps, pm = jax.vmap(single)(boxes, scores, ids, valid)
-    return Proposals(pb, ps, pm)
+    def one(b, s, v):
+        r = nms(b, s, iou_threshold, keep_out, v)
+        return r.boxes, r.scores, r.mask
+
+    flat = jax.vmap(one)
+    pb, ps, pm = flat(boxes_l.reshape(L * B, kmax, 4),
+                      scores_l.reshape(L * B, kmax),
+                      valid_l.reshape(L * B, kmax))
+    # union across levels per image, top max_per_img by score
+    pb = pb.reshape(L, B, keep_out, 4).transpose(1, 0, 2, 3).reshape(B, -1, 4)
+    ps = ps.reshape(L, B, keep_out).transpose(1, 0, 2).reshape(B, -1)
+    pm = pm.reshape(L, B, keep_out).transpose(1, 0, 2).reshape(B, -1)
+    ps = jnp.where(pm, ps, NEG_INF)
+    top_s, top_i = jax.lax.top_k(ps, min(max_per_img, ps.shape[1]))
+    top_b = jnp.take_along_axis(pb, top_i[..., None], axis=1)
+    top_m = top_s > NEG_INF / 2
+    return Proposals(top_b, jnp.where(top_m, top_s, 0.0), top_m)

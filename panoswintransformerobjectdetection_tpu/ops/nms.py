@@ -26,34 +26,87 @@ class NMSResult(NamedTuple):
     mask: jnp.ndarray     # (K,) bool
 
 
+NMS_BLOCK = 256
+
+
+def _pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    aa = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(a[:, 3] - a[:, 1], 0)
+    ab = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    return inter / jnp.maximum(aa[:, None] + ab[None, :] - inter, 1e-6)
+
+
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
         max_out: int, valid: jnp.ndarray = None) -> NMSResult:
-    """Greedy NMS.  boxes (N, 4), scores (N,); returns top `max_out` kept
-    boxes in descending score order, padded with mask=False."""
+    """Exact greedy NMS, block-parallel for TPU.
+
+    Candidates are processed in score order in blocks of `NMS_BLOCK`:
+    within a block, greedy survivorship is the fixpoint of iterated
+    suppression over the upper-triangular IoU mask (converges in
+    O(longest chain) iterations, bounded by a `while_loop`); surviving
+    rows then suppress all later candidates in one vectorized pass.
+    Sequential depth is O(N / BLOCK * chain) instead of O(N), with
+    O(BLOCK * N) peak memory.  Matches the scalar greedy algorithm (the
+    mmcv `nms` semantics) exactly.
+    """
     N = boxes.shape[0]
     if valid is not None:
         scores = jnp.where(valid, scores, NEG_INF)
     order = jnp.argsort(-scores)
     b = boxes[order]
     s = scores[order]
-    area = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
-    rank = jnp.arange(N)
 
-    # IoU rows are computed inside the loop — O(N) memory, not an N^2
-    # matrix (a (B, N, N, 2) broadcast at RPN candidate counts would blow
-    # HBM under vmap)
-    def body(i, sup):
-        alive = jnp.logical_not(sup[i]) & (s[i] > NEG_INF / 2)
-        bi = jax.lax.dynamic_slice(b, (i, 0), (1, 4))[0]
-        lt = jnp.maximum(bi[:2], b[:, :2])
-        rb = jnp.minimum(bi[2:], b[:, 2:])
-        wh = jnp.clip(rb - lt, 0.0, None)
-        inter = wh[:, 0] * wh[:, 1]
-        ai = jnp.maximum(bi[2] - bi[0], 0) * jnp.maximum(bi[3] - bi[1], 0)
-        iou_row = inter / jnp.maximum(ai + area - inter, 1e-6)
-        return sup | (alive & (iou_row > iou_threshold) & (rank > i))
+    T = min(NMS_BLOCK, N)
+    nb = -(-N // T)
+    pad = nb * T - N
+    if pad:
+        b = jnp.concatenate([b, jnp.zeros((pad, 4), b.dtype)], 0)
+        s = jnp.concatenate([s, jnp.full((pad,), NEG_INF, s.dtype)], 0)
+    Np = nb * T
+    tri = jnp.arange(T)[:, None] < jnp.arange(T)[None, :]   # tri[j, i] = (j < i)
 
-    sup = jax.lax.fori_loop(0, N, body, jnp.zeros(N, bool))
+    def block_body(bi, sup):
+        r0 = bi * T
+        rows = jax.lax.dynamic_slice(b, (r0, 0), (T, 4))
+        rows_sup = jax.lax.dynamic_slice(sup, (r0,), (T,))
+        rows_valid = jax.lax.dynamic_slice(s, (r0,), (T,)) > NEG_INF / 2
+        iou_rows = _pairwise_iou(rows, b)                    # (T, Np)
+        blk = jax.lax.dynamic_slice(iou_rows, (0, r0), (T, T))
+        over = (blk > iou_threshold) & tri                   # over[j, i]: j<i suppresses i
+
+        alive0 = jnp.logical_not(rows_sup) & rows_valid
+
+        def fix_cond(st):
+            alive, changed, it = st
+            return changed & (it < T)
+
+        def fix_body(st):
+            alive, _, it = st
+            killed = jnp.any(over & alive[:, None], axis=0)
+            new_alive = alive0 & jnp.logical_not(killed)
+            return new_alive, jnp.any(new_alive != alive), it + 1
+
+        alive, _, _ = jax.lax.while_loop(
+            fix_cond, fix_body, (alive0, jnp.bool_(True), 0))
+
+        # surviving rows suppress every later candidate
+        col = jnp.arange(Np)
+        later = col[None, :] > (r0 + jnp.arange(T))[:, None]
+        kill = jnp.any(alive[:, None] & (iou_rows > iou_threshold) & later, axis=0)
+        sup = sup | kill
+        # write back the block's own suppression state
+        sup = jax.lax.dynamic_update_slice(sup, jnp.logical_not(alive) |
+                                           jax.lax.dynamic_slice(sup, (r0,), (T,)),
+                                           (r0,))
+        return sup
+
+    sup = jax.lax.fori_loop(0, nb, block_body, jnp.zeros(Np, bool))
+    sup = sup[:N]
+    b = b[:N]
+    s = s[:N]
     keep = jnp.logical_not(sup) & (s > NEG_INF / 2)
 
     rank_score = jnp.where(keep, s, NEG_INF)
