@@ -20,7 +20,7 @@ from ..core.bbox import bbox_overlaps, delta_encode, delta_decode
 from ..core.assigner import max_iou_assign
 from ..core.sampler import random_sample
 from ..core import losses
-from ..ops.roi_align import roi_align
+from ..ops.roi_align import roi_align, multilevel_roi_align as _fused_mra
 from ..ops.nms import multiclass_nms, DetResult
 from .layers import trunc_init
 from .registry import HEADS
@@ -30,19 +30,12 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
                          strides: Sequence[int] = (4, 8, 16, 32),
                          out_size: int = 7, finest_scale: int = 56,
                          sampling_ratio: int = 2) -> jnp.ndarray:
-    """rois: (R, 5) (batch, x1, y1, x2, y2) image coords -> (R, o, o, C)."""
-    w = rois[:, 3] - rois[:, 1]
-    h = rois[:, 4] - rois[:, 2]
-    scale = jnp.sqrt(jnp.clip(w * h, 0.0, None))
-    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6)).astype(jnp.int32)
-    lvl = jnp.clip(lvl, 0, len(strides) - 1)
+    """rois: (R, 5) (batch, x1, y1, x2, y2) image coords -> (R, o, o, C).
 
-    out = 0.0
-    for i, s in enumerate(strides):
-        o = roi_align(feats[i], rois, out_size=out_size,
-                      spatial_scale=1.0 / s, sampling_ratio=sampling_ratio)
-        out = out + jnp.where((lvl == i)[:, None, None, None], o, 0.0)
-    return out
+    Delegates to the fused single-gather implementation in ops/roi_align.py.
+    """
+    return _fused_mra(list(feats), rois, strides=strides, out_size=out_size,
+                      finest_scale=finest_scale, sampling_ratio=sampling_ratio)
 
 
 @HEADS.register
