@@ -64,15 +64,20 @@ def sphere_bias(alpha_table, beta_table, rel_index, uv1, uv2, pano_mode):
 
 
 def _attention_core(q, k, v, bias, mask, scale):
-    """(n, heads, O, hd) attention with additive bias/mask, fp32 softmax."""
+    """(n, heads, O, hd) attention with additive bias/mask, fp32 softmax.
+
+    bias: (nW, heads, O, O) with n = B * nW — batch-independent (the uv
+    grid is content-free), broadcast across the batch without
+    materializing B copies.
+    """
     n, h, O, hd = q.shape
     attn = jnp.einsum("nhqd,nhkd->nhqk", q * scale, k,
                       preferred_element_type=jnp.float32)
-    attn = attn + bias.astype(attn.dtype)
+    nW = bias.shape[0]
+    attn = attn.reshape(n // nW, nW, h, O, O) + bias[None].astype(attn.dtype)
     if mask is not None:
-        nW = mask.shape[0]
-        attn = attn.reshape(n // nW, nW, h, O, O) + mask[None, :, None].astype(attn.dtype)
-        attn = attn.reshape(n, h, O, O)
+        attn = attn + mask[None, :, None].astype(attn.dtype)
+    attn = attn.reshape(n, h, O, O)
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("nhqk,nhkd->nhqd", attn.astype(v.dtype), v)
     return out
@@ -98,7 +103,8 @@ class WindowAttention(nn.Module):
         self.rel_index = make_relative_position_index(self.window_size)
 
     def __call__(self, x_windows, uv_windows, mask=None, pano_mode=True):
-        """x_windows: (n, O, c); uv_windows: (n, O, 2) or None; mask: (nW, O, O)."""
+        """x_windows: (B*nW, O, c); uv_windows: (nW, O, 2) — UNBATCHED (the
+        uv grid depends only on the static pano geometry); mask: (nW, O, O)."""
         n, O, c = x_windows.shape
         h = self.num_heads
         hd = c // h
@@ -107,6 +113,8 @@ class WindowAttention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]
         bias = sphere_bias(self.alpha_table, self.beta_table, self.rel_index,
                            uv_windows, uv_windows, pano_mode)
+        if not pano_mode:
+            bias = jnp.broadcast_to(bias, (uv_windows.shape[0],) + bias.shape[1:])
         out = _attention_core(q, k, v, bias, mask, scale)
         out = out.transpose(0, 2, 1, 3).reshape(n, O, c)
         return self.proj(out)
@@ -126,11 +134,9 @@ class PanoSwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, uv, pano_mode=True, deterministic=True):
-        """x: (B, H, W, c); uv: (B, H, W, 2) (zeros in planar mode).
-
-        uv stays f32 side-band even when features run bf16 — the haversine
-        bias needs the angular resolution; both go through the identical
-        layout permutations.
+        """x: (B, H, W, c); uv: (H, W, 2) UNBATCHED f32 side-band (zeros in
+        planar mode) — the sphere bias it induces is shared across the
+        batch, so it is computed once per window, not per image.
         """
         B, H, W, c = x.shape
         ws = self.window_size
@@ -152,9 +158,8 @@ class PanoSwinBlock(nn.Module):
         SH, SW = xn.shape[1], xn.shape[2]
         ph, pw = (-SH) % ws, (-SW) % ws
         if ph or pw:
-            pad = ((0, 0), (0, ph), (0, pw), (0, 0))
-            xn = jnp.pad(xn, pad)
-            uvt = jnp.pad(uvt, pad)
+            xn = jnp.pad(xn, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            uvt = jnp.pad(uvt, ((0, ph), (0, pw), (0, 0)))
         if (not pano_mode) and self.shift_size > 0:
             xn = window_transition(xn, self.shift_size, False)
             uvt = window_transition(uvt, self.shift_size, False)
@@ -164,7 +169,7 @@ class PanoSwinBlock(nn.Module):
         Hp, Wp = xn.shape[1], xn.shape[2]
 
         wins = window_partition(xn, ws).reshape(-1, ws * ws, c)
-        uv_wins = window_partition(uvt, ws).reshape(-1, ws * ws, 2)
+        uv_wins = window_partition(uvt[None], ws).reshape(-1, ws * ws, 2)
         attn = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
                                self.qk_scale, dtype=self.dtype, name="attn")(
             wins, uv_wins, mask=mask, pano_mode=pano_mode)
@@ -254,6 +259,7 @@ class PitchAttention(nn.Module):
         return sampled.reshape(B, Hp, Wp, C)
 
     def __call__(self, x, uv, pano_mode=True, deterministic=True):
+        """x: (B, H, W, c); uv: (H, W, 2) unbatched f32 side-band."""
         B, H, W, c = x.shape
         ws = self.window_size
         xn = self.norm1(x)
@@ -262,26 +268,36 @@ class PitchAttention(nn.Module):
         # (`simple_panoswin_transformer.py:1154-1155`), so its residual is
         # the POST-norm features; reproduced for checkpoint parity.
         shortcut = xn
-        xu = jnp.concatenate([xn, uv], axis=-1)
         pad_b, pad_r = (-H) % ws, (-W) % ws
+        uvp = uv
         if pad_b or pad_r:
-            xu = jnp.pad(xu, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-        Hp, Wp = xu.shape[1], xu.shape[2]
+            xn = jnp.pad(xn, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            uvp = jnp.pad(uvp, ((0, pad_b), (0, pad_r), (0, 0)))
+        Hp, Wp = xn.shape[1], xn.shape[2]
 
-        rotated = self._rotated_windows(xu, pad_r, pad_b) if pano_mode else xu
+        if pano_mode:
+            rotated = self._rotated_windows(xn, pad_r, pad_b)
+            rot_uv = self._rotated_windows(uvp[None], pad_r, pad_b)
+        else:
+            rotated = xn
+            rot_uv = uvp[None]
 
-        wins = window_partition(xu, ws).reshape(-1, ws * ws, c + 2)
-        rwins = window_partition(rotated, ws).reshape(-1, ws * ws, c + 2)
+        wins = window_partition(xn, ws).reshape(-1, ws * ws, c)
+        rwins = window_partition(rotated, ws).reshape(-1, ws * ws, c)
+        uv_wins = window_partition(uvp[None], ws).reshape(-1, ws * ws, 2)
+        ruv_wins = window_partition(rot_uv, ws).reshape(-1, ws * ws, 2)
 
         n, O, _ = wins.shape
         h = self.num_heads
         hd = c // h
         scale = self.qk_scale or hd ** -0.5
-        q = self.q_linear(wins[..., :c]).reshape(n, O, h, hd).transpose(0, 2, 1, 3)
-        k = self.k_linear(rwins[..., :c]).reshape(n, O, h, hd).transpose(0, 2, 1, 3)
-        v = self.v_linear(wins[..., :c]).reshape(n, O, h, hd).transpose(0, 2, 1, 3)
+        q = self.q_linear(wins).reshape(n, O, h, hd).transpose(0, 2, 1, 3)
+        k = self.k_linear(rwins).reshape(n, O, h, hd).transpose(0, 2, 1, 3)
+        v = self.v_linear(wins).reshape(n, O, h, hd).transpose(0, 2, 1, 3)
         bias = sphere_bias(self.alpha_table, self.beta_table, self.rel_index,
-                           wins[..., c:], rwins[..., c:], pano_mode)
+                           uv_wins, ruv_wins, pano_mode)
+        if not pano_mode:
+            bias = jnp.broadcast_to(bias, (uv_wins.shape[0],) + bias.shape[1:])
         out = _attention_core(q, k, v, bias, None, scale)
         out = out.transpose(0, 2, 1, 3).reshape(n, O, c)
         out = self.proj(out)
@@ -334,11 +350,11 @@ class BasicLayer(nn.Module):
         x_out = x
         if self.downsample:
             x_down = PatchMerging(dtype=self.dtype, name="downsample")(x)
-            B, H2, W2, _ = x_down.shape
+            _, H2, W2, _ = x_down.shape
             if pano_mode:
-                uv_down = jnp.broadcast_to(make_uv_grid(H2, W2)[None], (B, H2, W2, 2))
+                uv_down = make_uv_grid(H2, W2)
             else:
-                uv_down = jnp.zeros((B, H2, W2, 2), jnp.float32)
+                uv_down = jnp.zeros((H2, W2, 2), jnp.float32)
             return x_out, x_down, uv_down
         return x_out, x, uv
 
@@ -393,9 +409,9 @@ class PanoSwinTransformer(nn.Module):
                 xyzuv = jnp.concatenate([xyz, uv_hw2], -1)
                 x = x + nn.Dense(self.embed_dim, kernel_init=trunc_init,
                                  name="abs_encoder")(xyzuv)[None]
-            uv = jnp.broadcast_to(uv_hw2[None], (B, H, W, 2))
+            uv = uv_hw2
         else:
-            uv = jnp.zeros((B, H, W, 2), jnp.float32)
+            uv = jnp.zeros((H, W, 2), jnp.float32)
             if self.ape:
                 # keep the parameter in the tree so checkpoints round-trip
                 nn.Dense(self.embed_dim, kernel_init=trunc_init,

@@ -84,7 +84,8 @@ def pad_to_multiple(x: jnp.ndarray, multiple: int):
 
 
 def window_transition(x: jnp.ndarray, shift_size: int, pano_mode: bool) -> jnp.ndarray:
-    """Forward (pano-)shift of a (B, H, W, C) feature map.
+    """Forward (pano-)shift of a (..., H, W, C) feature map (batch dims
+    optional — the uv side-band rides through unbatched).
 
     planar: 2-D `roll` by -shift (stock Swin cyclic shift).
     pano:   horizontal roll(+shift) -> ew2ns pole rotation (width padded to
@@ -92,12 +93,14 @@ def window_transition(x: jnp.ndarray, shift_size: int, pano_mode: bool) -> jnp.n
             become window-contiguous (`WindowTransition.forward:376`).
     """
     if not pano_mode:
-        return jnp.roll(x, shift=(-shift_size, -shift_size), axis=(1, 2))
-    x = jnp.roll(x, shift=shift_size, axis=2)
-    if x.shape[2] % 2:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        return jnp.roll(x, shift=(-shift_size, -shift_size), axis=(-3, -2))
+    x = jnp.roll(x, shift=shift_size, axis=-2)
+    if x.shape[-2] % 2:
+        pad = [(0, 0)] * x.ndim
+        pad[-2] = (0, 1)
+        x = jnp.pad(x, pad)
     x = ew2ns(x)
-    x = jnp.roll(x, shift=shift_size, axis=1)
+    x = jnp.roll(x, shift=shift_size, axis=-3)
     return x
 
 
@@ -105,10 +108,10 @@ def window_transition_reverse(x: jnp.ndarray, shift_size: int, pano_mode: bool,
                               width_was_odd: bool = False) -> jnp.ndarray:
     """Inverse of `window_transition`; `width_was_odd` undoes the even-pad."""
     if not pano_mode:
-        return jnp.roll(x, shift=(shift_size, shift_size), axis=(1, 2))
-    x = jnp.roll(x, shift=-shift_size, axis=1)
+        return jnp.roll(x, shift=(shift_size, shift_size), axis=(-3, -2))
+    x = jnp.roll(x, shift=-shift_size, axis=-3)
     x = ns2we(x)
     if width_was_odd:
-        x = x[:, :, :-1, :]
-    x = jnp.roll(x, shift=-shift_size, axis=2)
+        x = x[..., :, :-1, :]
+    x = jnp.roll(x, shift=-shift_size, axis=-2)
     return x
