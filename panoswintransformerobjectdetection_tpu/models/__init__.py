@@ -11,5 +11,6 @@ from . import resnet  # noqa: F401
 from . import detectors  # noqa: F401
 from . import cascade  # noqa: F401
 from . import classifier  # noqa: F401
+from . import retinanet  # noqa: F401
 
 __all__ = ["BACKBONES", "NECKS", "HEADS", "DETECTORS", "LOSSES", "build", "register"]

@@ -1,0 +1,169 @@
+"""RetinaNet: single-stage anchor detector with focal loss.
+
+Model-zoo coverage of the reference's `retinanet.py` detector +
+`retina_head.py`: FPN P3-P7 (extra convs from C5), 4-conv cls/reg towers,
+9 anchors per cell (octave base 4, 3 scales/octave, ratios 0.5/1/2),
+focal loss (gamma 2, alpha 0.25), per-image NMS over all levels.
+"""
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..core.anchors import AnchorGenerator
+from ..core.bbox import bbox_overlaps, delta_encode, delta_decode
+from ..core.assigner import max_iou_assign
+from ..core import losses
+from ..ops.nms import batched_nms, NEG_INF, DetResult
+from .layers import trunc_init, resolve_dtype
+from .registry import BACKBONES, NECKS, DETECTORS, HEADS, build
+
+
+@HEADS.register
+class RetinaHead(nn.Module):
+    num_classes: int = 80
+    num_anchors: int = 9
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, feats):
+        dt = resolve_dtype(self.dtype)
+        cls_convs = [nn.Conv(self.feat_channels, (3, 3), padding=1, dtype=dt,
+                             name=f"cls_conv{i}") for i in range(self.stacked_convs)]
+        reg_convs = [nn.Conv(self.feat_channels, (3, 3), padding=1, dtype=dt,
+                             name=f"reg_conv{i}") for i in range(self.stacked_convs)]
+        cls_out = nn.Conv(self.num_anchors * self.num_classes, (3, 3), padding=1,
+                          dtype=dt, bias_init=nn.initializers.constant(-4.595),
+                          name="retina_cls")   # prior prob 0.01
+        reg_out = nn.Conv(self.num_anchors * 4, (3, 3), padding=1, dtype=dt,
+                          name="retina_reg")
+        cls_scores, bbox_preds = [], []
+        for f in feats:
+            c = r = f if dt is None else f.astype(dt)
+            for conv in cls_convs:
+                c = nn.relu(conv(c))
+            for conv in reg_convs:
+                r = nn.relu(conv(r))
+            cls_scores.append(cls_out(c).astype(jnp.float32))
+            bbox_preds.append(reg_out(r).astype(jnp.float32))
+        return tuple(cls_scores), tuple(bbox_preds)
+
+
+@DETECTORS.register
+class RetinaNet(nn.Module):
+    backbone: Any
+    num_classes: int = 80
+    neck: Optional[Any] = None
+    anchor_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    target_stds: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    compute_dtype: Any = None
+
+    def setup(self):
+        bb = dict(self.backbone)
+        if self.compute_dtype is not None:
+            bb.setdefault("dtype", self.compute_dtype)
+        self.backbone_m = build(BACKBONES, bb)
+        neck_cfg = dict(self.neck or {
+            "type": "FPN", "in_channels": (512, 1024, 2048),
+            "out_channels": 256, "num_outs": 5, "start_level": 1,
+            "add_extra_convs": True})
+        if self.compute_dtype is not None:
+            neck_cfg.setdefault("dtype", self.compute_dtype)
+        self.neck_m = build(NECKS, neck_cfg)
+        self.head_m = RetinaHead(num_classes=self.num_classes,
+                                 dtype=self.compute_dtype)
+        self.anchor_gen = AnchorGenerator(
+            strides=self.anchor_strides, ratios=(0.5, 1.0, 2.0),
+            octave_base_scale=4, scales_per_octave=3)
+
+    def __call__(self, images, train: bool = False):
+        feats = self.neck_m(self.backbone_m(images, train=train))
+        return self.head_m(feats)
+
+    def _flat(self, cls_scores, bbox_preds):
+        B = cls_scores[0].shape[0]
+        cls = jnp.concatenate(
+            [c.reshape(B, -1, self.num_classes) for c in cls_scores], axis=1)
+        reg = jnp.concatenate([r.reshape(B, -1, 4) for r in bbox_preds], axis=1)
+        return cls, reg
+
+    def forward_train(self, images, img_shapes, gt_boxes, gt_labels,
+                      gt_valid) -> Dict[str, jnp.ndarray]:
+        cls_scores, bbox_preds = self(images, train=True)
+        sizes = [tuple(c.shape[1:3]) for c in cls_scores]
+        anchors = jnp.concatenate(
+            [jnp.asarray(a) for a in self.anchor_gen.grid_anchors(sizes)], 0)
+        cls, reg = self._flat(cls_scores, bbox_preds)
+        B, N, C = cls.shape
+
+        def single(gts, glabels, gvalid):
+            ious = bbox_overlaps(gts, anchors)
+            assigned, _ = max_iou_assign(ious, gvalid, pos_iou_thr=0.5,
+                                         neg_iou_thr=0.4, min_pos_iou=0.0,
+                                         match_low_quality=True)
+            pos = assigned > 0
+            gt_idx = jnp.clip(assigned - 1, 0)
+            labels = jnp.where(pos, glabels[gt_idx], self.num_classes)
+            weights = (assigned >= 0).astype(jnp.float32)
+            targets = jax.lax.stop_gradient(
+                delta_encode(anchors, gts[gt_idx], stds=self.target_stds))
+            return labels, weights, targets, pos
+
+        labels, weights, targets, pos = jax.vmap(single)(gt_boxes, gt_labels, gt_valid)
+        num_pos = jnp.maximum(pos.sum(), 1.0)
+        loss_cls = losses.sigmoid_focal_loss(cls, labels, self.num_classes,
+                                             weight=weights, avg_factor=num_pos)
+        loss_bbox = losses.l1_loss(reg, targets,
+                                   weight=pos[..., None].astype(jnp.float32),
+                                   avg_factor=num_pos)
+        return {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+
+    def simple_test(self, images, img_shapes, scale_factors=None,
+                    *, nms_pre=1000, score_thr=0.05, iou_threshold=0.5,
+                    max_per_img=100) -> DetResult:
+        cls_scores, bbox_preds = self(images, train=False)
+        sizes = [tuple(c.shape[1:3]) for c in cls_scores]
+        level_anchors = [jnp.asarray(a) for a in self.anchor_gen.grid_anchors(sizes)]
+        B = images.shape[0]
+
+        all_s, all_b, all_l = [], [], []
+        for c, r, a in zip(cls_scores, bbox_preds, level_anchors):
+            sc = jax.nn.sigmoid(c.reshape(B, -1, self.num_classes))
+            rg = r.reshape(B, -1, 4)
+            flat = sc.reshape(B, -1)                       # (B, n*C)
+            k = min(nms_pre, flat.shape[1])
+            top_s, top_i = jax.lax.top_k(flat, k)
+            anchor_i = top_i // self.num_classes
+            label_i = (top_i % self.num_classes).astype(jnp.int32)
+            sel_anchor = a[anchor_i]
+            sel_reg = jnp.take_along_axis(rg, anchor_i[..., None], axis=1)
+            boxes = delta_decode(sel_anchor, sel_reg, stds=self.target_stds)
+            h = img_shapes[:, 0][:, None, None]
+            w = img_shapes[:, 1][:, None, None]
+            x = jnp.clip(boxes[..., 0::2], 0, w)
+            y = jnp.clip(boxes[..., 1::2], 0, h)
+            boxes = jnp.stack([x[..., 0], y[..., 0], x[..., 1], y[..., 1]], -1)
+            all_s.append(top_s)
+            all_b.append(boxes)
+            all_l.append(label_i)
+
+        scores = jnp.concatenate(all_s, axis=1)
+        boxes = jnp.concatenate(all_b, axis=1)
+        labels = jnp.concatenate(all_l, axis=1)
+        if scale_factors is not None:
+            boxes = boxes / scale_factors[:, None, :]
+        valid = scores > score_thr
+
+        def one(b, s, l, v):
+            r = batched_nms(b, s, l, iou_threshold, max_per_img, v)
+            lab = l[r.idx]
+            return DetResult(r.boxes, jnp.where(r.mask, r.scores, NEG_INF),
+                             jnp.where(r.mask, lab, -1), r.mask)
+
+        return jax.vmap(one)(boxes, scores, labels, valid)
