@@ -91,6 +91,7 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     dtype: Any = None
+    fused: bool = False
 
     def setup(self):
         dt = resolve_dtype(self.dtype)
@@ -115,7 +116,22 @@ class WindowAttention(nn.Module):
                            uv_windows, uv_windows, pano_mode)
         if not pano_mode:
             bias = jnp.broadcast_to(bias, (uv_windows.shape[0],) + bias.shape[1:])
-        out = _attention_core(q, k, v, bias, mask, scale)
+
+        if self.fused and mask is None:
+            from ..ops.fused_attention import fused_window_attention
+            Op = -(-O // 8) * 8
+            if Op != O:
+                padqkv = ((0, 0), (0, 0), (0, Op - O), (0, 0))
+                q = jnp.pad(q, padqkv)
+                k = jnp.pad(k, padqkv)
+                v = jnp.pad(v, padqkv)
+                # padded keys must never win the softmax
+                bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Op - O), (0, Op - O)),
+                               constant_values=0.0)
+                bias = bias.at[..., :, O:].set(-1e9)
+            out = fused_window_attention(q, k, v, bias, scale)[:, :, :O]
+        else:
+            out = _attention_core(q, k, v, bias, mask, scale)
         out = out.transpose(0, 2, 1, 3).reshape(n, O, c)
         return self.proj(out)
 
@@ -131,6 +147,7 @@ class PanoSwinBlock(nn.Module):
     qk_scale: Optional[float] = None
     drop_path: float = 0.0
     dtype: Any = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, uv, pano_mode=True, deterministic=True):
@@ -171,7 +188,8 @@ class PanoSwinBlock(nn.Module):
         wins = window_partition(xn, ws).reshape(-1, ws * ws, c)
         uv_wins = window_partition(uvt[None], ws).reshape(-1, ws * ws, 2)
         attn = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
-                               self.qk_scale, dtype=self.dtype, name="attn")(
+                               self.qk_scale, dtype=self.dtype,
+                               fused=self.fused, name="attn")(
             wins, uv_wins, mask=mask, pano_mode=pano_mode)
         y = window_reverse(attn.reshape(-1, ws, ws, c), ws, Hp, Wp)
 
@@ -322,6 +340,7 @@ class BasicLayer(nn.Module):
     downsample: bool = True
     use_checkpoint: bool = False
     dtype: Any = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, uv, pano_mode=True, deterministic=True):
@@ -338,7 +357,7 @@ class BasicLayer(nn.Module):
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale,
                 drop_path=self.drop_path[i] if self.drop_path else 0.0,
-                dtype=self.dtype,
+                dtype=self.dtype, fused=self.fused,
                 name=f"blocks_{i}")(x, uv, pano_mode, deterministic)
         if self.depth % 2:
             x = PitchAttention(
@@ -383,6 +402,7 @@ class PanoSwinTransformer(nn.Module):
     pano_mode: bool = True
     use_checkpoint: bool = False
     dtype: Any = None
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, images, pano_mode: Optional[bool] = None,
@@ -430,6 +450,7 @@ class PanoSwinTransformer(nn.Module):
                 drop_path=tuple(dpr[start:start + self.depths[i]]),
                 downsample=i < num_layers - 1,
                 use_checkpoint=self.use_checkpoint, dtype=self.dtype,
+                fused=self.fused_attention,
                 name=f"layers_{i}")(x, uv, pano_mode=pano, deterministic=deterministic)
             if i in self.out_indices:
                 outs.append(layer_norm(f"norm{i}")(x_out.astype(jnp.float32)))
