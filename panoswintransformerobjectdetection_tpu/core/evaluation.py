@@ -130,3 +130,28 @@ def eval_map_voc(detections: List[dict], gts: List[dict], num_classes: int,
     r = eval_map_coco(detections, gts, num_classes, iou_thrs=[iou_thr],
                       max_dets=10000)
     return {"mAP": r["bbox_mAP_50"] if iou_thr == 0.5 else r["bbox_mAP"]}
+
+
+def eval_recalls(proposals: List[dict], gts: List[dict],
+                 proposal_nums=(100, 300, 1000),
+                 iou_thrs=(0.5,)) -> Dict[str, float]:
+    """Proposal recall (`mmdet/core/evaluation/recall.py eval_recalls`):
+    fraction of gts covered by a top-k proposal at IoU >= thr."""
+    out = {}
+    for k in proposal_nums:
+        for thr in iou_thrs:
+            covered = total = 0
+            for prop, gt in zip(proposals, gts):
+                boxes = np.asarray(prop["boxes"], np.float32)
+                scores = np.asarray(prop.get("scores",
+                                             np.ones(len(boxes))), np.float32)
+                order = np.argsort(-scores)[:k]
+                boxes = boxes[order]
+                gb = np.asarray(gt["bboxes"], np.float32)
+                total += len(gb)
+                if len(gb) == 0 or len(boxes) == 0:
+                    continue
+                iou = _iou_matrix(boxes, gb)
+                covered += int((iou.max(axis=0) >= thr).sum())
+            out[f"AR@{k}@{thr:.2f}"] = covered / max(total, 1)
+    return out

@@ -44,3 +44,39 @@ def random_sample(rng: jax.Array, assigned: jnp.ndarray, num: int,
     neg_mask = neg_avail & keep
 
     return SampleResult(pos_inds, pos_mask, neg_inds, neg_mask)
+
+
+def pseudo_sample(assigned: jnp.ndarray, num: int) -> SampleResult:
+    """PseudoSampler (`samplers/pseudo_sampler.py`): take everything — all
+    positives (up to `num` slots) and all negatives, no subsampling."""
+    N = assigned.shape[0]
+    is_pos = assigned > 0
+    is_neg = assigned == 0
+    pos_score = is_pos.astype(jnp.float32)
+    _, pos_inds = jax.lax.top_k(pos_score, min(num, N))
+    pos_mask = is_pos[pos_inds]
+    neg_score = is_neg.astype(jnp.float32)
+    _, neg_inds = jax.lax.top_k(neg_score, min(num, N))
+    neg_mask = is_neg[neg_inds]
+    return SampleResult(pos_inds, pos_mask, neg_inds, neg_mask)
+
+
+def ohem_sample(assigned: jnp.ndarray, losses_per_anchor: jnp.ndarray,
+                num: int, pos_fraction: float) -> SampleResult:
+    """OHEM (`samplers/ohem_sampler.py`): keep the hardest (highest-loss)
+    positives/negatives instead of random ones."""
+    N = assigned.shape[0]
+    pos_cap = int(num * pos_fraction)
+    is_pos = assigned > 0
+    is_neg = assigned == 0
+
+    pos_score = jnp.where(is_pos, losses_per_anchor, -jnp.inf)
+    _, pos_inds = jax.lax.top_k(pos_score, pos_cap)
+    pos_mask = is_pos[pos_inds]
+    n_pos = pos_mask.sum()
+
+    neg_score = jnp.where(is_neg, losses_per_anchor, -jnp.inf)
+    _, neg_inds = jax.lax.top_k(neg_score, num)
+    neg_avail = is_neg[neg_inds]
+    keep = jnp.cumsum(neg_avail.astype(jnp.int32)) <= num - n_pos
+    return SampleResult(pos_inds, pos_mask, neg_inds, neg_avail & keep)

@@ -210,6 +210,43 @@ class TwoStageDetector(nn.Module):
             roi_mask=props.mask, scale_factors=scale_factors, **cfg["rcnn"])
 
 
+    # ------------------------------------------------------- TTA sub-steps
+    def extract_proposals(self, images, img_shapes):
+        """RPN proposals only (aug_test stage 1 — `aug_test_rpn`)."""
+        cfg = self.test_cfg or default_test_cfg()
+        feats = self.extract_feat(images, train=False)
+        cls_scores, bbox_preds = self.rpn_m(feats)
+        level_anchors, _ = self._anchors(cls_scores)
+        return rpn_proposals(cls_scores, bbox_preds, level_anchors, img_shapes,
+                             target_stds=self.rpn_target_stds, **cfg["rpn"])
+
+    def bbox_for_rois(self, images, boxes, img_shapes):
+        """Class scores + decoded per-class boxes for given proposal boxes
+        (B, P, 4) — the per-aug piece of `aug_test` (`merge_aug_bboxes`
+        averages these across augmentations)."""
+        feats = self.extract_feat(images, train=False)
+        B, P, _ = boxes.shape
+        bidx = jnp.broadcast_to(jnp.arange(B, dtype=images.dtype)[:, None], (B, P))
+        rois = jnp.concatenate([bidx[..., None], boxes], axis=-1)
+        roi_feats = multilevel_roi_align(feats[:4], rois.reshape(B * P, 5),
+                                         strides=self.featmap_strides)
+        cls, reg = self.bbox_head_m(roi_feats)
+        scores = jax.nn.softmax(cls.reshape(B, P, -1), axis=-1)
+        from ..core.bbox import delta_decode
+        dec = delta_decode(boxes.reshape(B * P, 4),
+                           reg.reshape(B * P, -1),
+                           means=(0., 0., 0., 0.), stds=self.rcnn_target_stds)
+        h = img_shapes[:, 0][:, None, None]
+        w = img_shapes[:, 1][:, None, None]
+        dec = dec.reshape(B, P, -1)
+        k = dec.shape[-1] // 4
+        x1 = jnp.clip(dec[..., 0::4], 0, w)
+        y1 = jnp.clip(dec[..., 1::4], 0, h)
+        x2 = jnp.clip(dec[..., 2::4], 0, w)
+        y2 = jnp.clip(dec[..., 3::4], 0, h)
+        dec = jnp.stack([x1, y1, x2, y2], axis=-1).reshape(B, P, 4 * k)
+        return scores, dec
+
     def simple_test_masks(self, images, img_shapes, scale_factors=None):
         """bbox detections + per-detection mask probabilities
         (`mask_rcnn` simple_test with masks).  Returns (DetResult,

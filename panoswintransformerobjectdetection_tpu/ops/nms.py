@@ -173,3 +173,37 @@ def multiclass_nms(multi_boxes: jnp.ndarray, multi_scores: jnp.ndarray,
     labels = top_labels[r.idx]
     return DetResult(r.boxes, jnp.where(r.mask, r.scores, NEG_INF),
                      jnp.where(r.mask, labels, -1), r.mask)
+
+
+def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
+             max_out: int, sigma: float = 0.5, min_score: float = 1e-3,
+             valid: jnp.ndarray = None, method: str = "gaussian") -> NMSResult:
+    """Soft-NMS (`mmcv.ops.soft_nms` role): decays overlapping scores
+    (gaussian or linear) instead of hard suppression.  Sequential greedy
+    over `max_out` selections — only the selection count, not N, bounds the
+    loop depth."""
+    N = boxes.shape[0]
+    if valid is not None:
+        scores = jnp.where(valid, scores, NEG_INF)
+
+    def body(_, st):
+        s, out_idx, out_sc, t = st
+        i = jnp.argmax(s)
+        si = s[i]
+        out_idx = out_idx.at[t].set(i)
+        out_sc = out_sc.at[t].set(si)
+        s = s.at[i].set(NEG_INF)
+        iou_row = _pairwise_iou(boxes[i][None], boxes)[0]
+        if method == "linear":
+            decay = jnp.where(iou_row > iou_threshold, 1.0 - iou_row, 1.0)
+        else:
+            decay = jnp.exp(-(iou_row ** 2) / sigma)
+        s = jnp.where(s > NEG_INF / 2, s * decay, s)
+        return s, out_idx, out_sc, t + 1
+
+    out_idx = jnp.zeros((max_out,), jnp.int32)
+    out_sc = jnp.full((max_out,), NEG_INF)
+    s, out_idx, out_sc, _ = jax.lax.fori_loop(
+        0, max_out, body, (scores, out_idx, out_sc, 0))
+    mask = out_sc > jnp.maximum(min_score, NEG_INF / 2)
+    return NMSResult(boxes[out_idx], out_sc, out_idx, mask)
