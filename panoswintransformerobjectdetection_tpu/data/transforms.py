@@ -282,6 +282,28 @@ class RollAug:
         return results
 
 
+class BasketBallExpand:
+    """Test-time latitude-corrected channel concat (`transforms.py:661`).
+
+    The reference implementation references an undefined `transd`
+    (`transforms.py:701` — broken as-is, SURVEY.md §7); the intended
+    behavior is implemented: the basketball-corrected image is appended as
+    extra channels so the backbone sees both representations.
+    """
+    def __init__(self, patch_size: int = 20):
+        self.patch_size = patch_size
+
+    def __call__(self, results):
+        import jax.numpy as jnp
+        from ..geometry.basketball import correct_center
+        img = results["img"]
+        ratio = tuple(results.get("pano_ratio_v", (0.0, 1.0))[:2])
+        corrected = np.asarray(correct_center(
+            jnp.asarray(img), self.patch_size, ratio_v=ratio))
+        results["img"] = np.concatenate([img, corrected], axis=-1)
+        return results
+
+
 class PanoCheck:
     """Inject the default full-pano `pano_ratio_v` (`transforms.py:1120`)."""
     def __call__(self, results):

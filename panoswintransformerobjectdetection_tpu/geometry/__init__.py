@@ -29,11 +29,13 @@ from .projection import (
 )
 from .resample import grid_sample, grid_sample_nhwc
 from .axis import ew2ns, ns2we, pole_cat
+from .basketball import correct_center, patch_latitudes, stb_adjacency
 
 __all__ = [
     "make_uv_grid", "uv_to_xyz", "wrap_u", "haversine", "haversine_pairwise",
     "great_circle", "great_circle_pairwise", "NORTH_POLE", "rotate_to_pole",
     "pano_rotate", "pano_rotate_image", "tangent_xy_to_equirect_uv",
     "equirect_uv_to_tangent_xy", "bfov_to_xyxy", "grid_sample",
-    "grid_sample_nhwc", "ew2ns", "ns2we", "pole_cat",
+    "grid_sample_nhwc", "ew2ns", "ns2we", "pole_cat", "correct_center",
+    "patch_latitudes", "stb_adjacency",
 ]
