@@ -26,10 +26,20 @@ def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def _match_class(det_boxes, det_scores, gt_boxes, iou_thr, max_dets=100):
-    """Returns (tp flags, scores) for one image+class at one IoU threshold."""
+    """Returns (tp flags, scores) for one image+class at one IoU threshold.
+
+    Uses the native C++ matcher (`native/cocoeval.cpp`, the mmpycocotools
+    role) when available; falls back to the numpy loop."""
     order = np.argsort(-det_scores)[:max_dets]
     det_boxes = det_boxes[order]
     det_scores = det_scores[order]
+
+    from ..native import native_match_class
+    tp_native = native_match_class(det_boxes, gt_boxes, iou_thr) \
+        if len(det_boxes) and len(gt_boxes) else None
+    if tp_native is not None:
+        return tp_native, det_scores
+
     iou = _iou_matrix(det_boxes, gt_boxes)
     matched = np.zeros(len(gt_boxes), bool)
     tp = np.zeros(len(det_boxes), bool)
