@@ -9,12 +9,15 @@ from .transforms import (
     LoadImageFromFile, LoadAnnotations, Resize, PanoResize, RandomFlip,
     Normalize, Pad, PanoStretch, RollAug, PanoCheck, Compose,
 )
-from .datasets import CocoStyleDataset, CocoDataset, StreetDataset, Indoor360Dataset
+from .datasets import (CocoStyleDataset, CocoDataset, StreetDataset,
+                       Indoor360Dataset, VOCDataset)
+from .wrappers import RepeatDataset, ConcatDataset, ClassBalancedDataset
 from .loader import DetDataLoader
 
 __all__ = [
     "LoadImageFromFile", "LoadAnnotations", "Resize", "PanoResize",
     "RandomFlip", "Normalize", "Pad", "PanoStretch", "RollAug", "PanoCheck",
     "Compose", "CocoStyleDataset", "CocoDataset", "StreetDataset",
-    "Indoor360Dataset", "DetDataLoader",
+    "Indoor360Dataset", "VOCDataset", "RepeatDataset", "ConcatDataset",
+    "ClassBalancedDataset", "DetDataLoader",
 ]

@@ -23,7 +23,14 @@ DATASETS = {
     "CocoDataset": D.CocoDataset,
     "StreetDataset": D.StreetDataset,
     "Indoor360Dataset": D.Indoor360Dataset,
+    "VOCDataset": D.VOCDataset,
 }
+
+
+def register_wrappers():
+    from .wrappers import RepeatDataset, ConcatDataset, ClassBalancedDataset
+    return {"RepeatDataset": RepeatDataset, "ConcatDataset": ConcatDataset,
+            "ClassBalancedDataset": ClassBalancedDataset}
 
 
 def build_pipeline(cfgs: Sequence[dict]):
@@ -45,6 +52,13 @@ def build_pipeline(cfgs: Sequence[dict]):
 def build_dataset(cfg: dict):
     cfg = dict(cfg)
     kind = cfg.pop("type")
+    if kind == "RepeatDataset":
+        from .wrappers import RepeatDataset
+        return RepeatDataset(build_dataset(cfg["dataset"]), cfg.get("times", 1))
+    if kind == "ClassBalancedDataset":
+        from .wrappers import ClassBalancedDataset
+        return ClassBalancedDataset(build_dataset(cfg["dataset"]),
+                                    cfg.get("oversample_thr", 1e-3))
     pipeline = cfg.pop("pipeline", None)
     if pipeline:
         cfg["pipeline"] = build_pipeline(pipeline)

@@ -149,3 +149,59 @@ class Indoor360Dataset(CocoStyleDataset):
                 img_info["width"], img_info["height"]))[0]
             return xyxy.tolist()
         return super()._ann_to_xyxy(ann, img_info)
+
+
+VOC_CLASSES = (
+    'aeroplane', 'bicycle', 'bird', 'boat', 'bottle', 'bus', 'car', 'cat',
+    'chair', 'cow', 'diningtable', 'dog', 'horse', 'motorbike', 'person',
+    'pottedplant', 'sheep', 'sofa', 'train', 'tvmonitor')
+
+
+class VOCDataset(CocoStyleDataset):
+    """Pascal-VOC XML annotations (`mmdet/datasets/voc.py` + `xml_style.py`).
+
+    Expects an ImageSets split file + Annotations/*.xml + JPEGImages/.
+    `evaluate` uses VOC-style mAP@0.5 (`eval_map_voc`).
+    """
+    CLASSES = VOC_CLASSES
+
+    def _parse(self, split_file, filter_empty):
+        import xml.etree.ElementTree as ET
+        root = osp.dirname(osp.dirname(split_file))
+        with open(split_file) as f:
+            ids = [l.strip() for l in f if l.strip()]
+        name_to_idx = {c: i for i, c in enumerate(self.CLASSES)}
+        records = []
+        for i, img_id in enumerate(ids):
+            xml_path = osp.join(root, "Annotations", img_id + ".xml")
+            tree = ET.parse(xml_path)
+            r = tree.getroot()
+            size = r.find("size")
+            w = int(size.find("width").text)
+            h = int(size.find("height").text)
+            boxes, labels = [], []
+            for obj in r.findall("object"):
+                name = obj.find("name").text
+                if name not in name_to_idx:
+                    continue
+                if obj.find("difficult") is not None and \
+                        int(obj.find("difficult").text):
+                    continue
+                bb = obj.find("bndbox")
+                boxes.append([float(bb.find(t).text) for t in
+                              ("xmin", "ymin", "xmax", "ymax")])
+                labels.append(name_to_idx[name])
+            if filter_empty and not boxes:
+                continue
+            records.append({
+                "id": i, "filename": osp.join("JPEGImages", img_id + ".jpg"),
+                "width": w, "height": h,
+                "bboxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+                "labels": np.asarray(labels, np.int64),
+            })
+        return records
+
+    def evaluate(self, detections, iou_thr=0.5):
+        from ..core.evaluation import eval_map_voc
+        gts = [{"bboxes": r["bboxes"], "labels": r["labels"]} for r in self.records]
+        return eval_map_voc(detections, gts, len(self.CLASSES), iou_thr)
