@@ -7,7 +7,8 @@ counts with validity masks.
 
 from .transforms import (
     LoadImageFromFile, LoadAnnotations, Resize, PanoResize, RandomFlip,
-    Normalize, Pad, PanoStretch, RollAug, PanoCheck, Compose,
+    Normalize, Pad, PanoStretch, RollAug, PanoCheck, BasketBallExpand,
+    Compose,
 )
 from .datasets import (CocoStyleDataset, CocoDataset, StreetDataset,
                        Indoor360Dataset, VOCDataset)
@@ -17,6 +18,7 @@ from .loader import DetDataLoader
 __all__ = [
     "LoadImageFromFile", "LoadAnnotations", "Resize", "PanoResize",
     "RandomFlip", "Normalize", "Pad", "PanoStretch", "RollAug", "PanoCheck",
+    "BasketBallExpand",
     "Compose", "CocoStyleDataset", "CocoDataset", "StreetDataset",
     "Indoor360Dataset", "VOCDataset", "RepeatDataset", "ConcatDataset",
     "ClassBalancedDataset", "DetDataLoader",

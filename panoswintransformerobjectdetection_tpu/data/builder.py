@@ -17,6 +17,7 @@ PIPELINES = {
     "PanoStretch": T.PanoStretch,
     "RollAug": T.RollAug,
     "PanoCheck": T.PanoCheck,
+    "BasketBallExpand": T.BasketBallExpand,
 }
 
 DATASETS = {
