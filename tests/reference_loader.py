@@ -95,6 +95,29 @@ def load_reference_panoswin():
         return None
 
 
+def load_reference_swin():
+    """Import the reference stock `swin_transformer.py` (torch CPU).  Its
+    `from ..builder import BACKBONES` relative import can't resolve
+    standalone, so the source is patched to a no-op registry."""
+    try:
+        if load_reference_panoswin() is None:   # installs all stubs
+            return None
+        import types as _t
+        src = open(REFERENCE_ROOT +
+                   "/mmdet/models/backbones/swin_transformer.py").read()
+        src = src.replace(
+            "from ..builder import BACKBONES",
+            "class _R:\n"
+            "    def register_module(self, *a, **k):\n"
+            "        return lambda c: c\n"
+            "BACKBONES = _R()")
+        mod = _t.ModuleType("ref_swin")
+        exec(compile(src, "ref_swin", "exec"), mod.__dict__)
+        return mod
+    except Exception:
+        return None
+
+
 def load_reference():
     """Returns the dict of reference modules, or None if unavailable."""
     try:
