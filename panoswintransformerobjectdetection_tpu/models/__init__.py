@@ -2,6 +2,7 @@
 
 from .registry import BACKBONES, NECKS, HEADS, DETECTORS, LOSSES, build, register
 from . import panoswin  # noqa: F401  (registers PanoSwinTransformer)
+from . import panoswin_v2  # noqa: F401
 from . import swin  # noqa: F401
 from . import fpn  # noqa: F401
 from . import rpn_head  # noqa: F401

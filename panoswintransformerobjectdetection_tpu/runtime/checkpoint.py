@@ -269,3 +269,64 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
     if isinstance(ckpt, dict) and "model" in ckpt:
         return ckpt["model"]
     return ckpt
+
+
+def convert_panoswin_v2_backbone(sd: Dict[str, Any], depths,
+                                 window_size: int = 7,
+                                 src_window_size: Optional[int] = None
+                                 ) -> Tuple[dict, dict]:
+    """Reference v-variant `panoswin_transformer.py` state_dict ->
+    (params, batch_stats) for `models.panoswin_v2.PanoSwinTransformerV2`."""
+    sd = _strip_module(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    pe = {
+        "conv0": _conv(sd, "patch_embed.proj.0"),
+        "conv1": _conv(sd, "patch_embed.proj.3"),
+        "proj": _conv(sd, "patch_embed.proj.6"),
+    }
+    pe_stats = {}
+    pe["bn0"], pe_stats["bn0"] = _bn(sd, "patch_embed.proj.1")
+    pe["bn1"], pe_stats["bn1"] = _bn(sd, "patch_embed.proj.4")
+    if "patch_embed.norm.weight" in sd:
+        pe["norm"] = _ln(sd, "patch_embed.norm")
+    params["patch_embed"] = pe
+    stats["patch_embed"] = pe_stats
+
+    if "coord_encoder.weight" in sd:
+        params["coord_encoder"] = _linear(sd, "coord_encoder")
+
+    def table(name):
+        t = _np(sd[name])
+        if src_window_size:
+            t = resize_bias_table(t, src_window_size, window_size)
+        return t
+
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            p = f"layers.{i}.blocks.{j}"
+            params[f"layers_{i}_blocks_{j}"] = {
+                "norm1": _ln(sd, p + ".norm1"),
+                "norm2": _ln(sd, p + ".norm2"),
+                "attn": {
+                    "qkv": _linear(sd, p + ".attn.qkv"),
+                    "proj": _linear(sd, p + ".attn.proj"),
+                    "relative_position_bias_table":
+                        table(p + ".attn.relative_position_bias_table"),
+                    "alpha_table": table(p + ".attn.sphere_position_alpha_table"),
+                    "beta_table": table(p + ".attn.sphere_position_beta_table"),
+                },
+                "mlp": {"fc1": _linear(sd, p + ".mlp.fc1"),
+                        "fc2": _linear(sd, p + ".mlp.fc2")},
+            }
+        if f"layers.{i}.downsample.reduction.weight" in sd:
+            params[f"layers_{i}_downsample"] = {
+                "norm": _ln(sd, f"layers.{i}.downsample.norm"),
+                "reduction": {"kernel": _np(
+                    sd[f"layers.{i}.downsample.reduction.weight"]).T},
+            }
+    for i in range(len(depths)):
+        if f"norm{i}.weight" in sd:
+            params[f"norm{i}"] = _ln(sd, f"norm{i}")
+    return params, stats

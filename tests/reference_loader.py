@@ -95,6 +95,23 @@ def load_reference_panoswin():
         return None
 
 
+def load_reference_panoswin_v2():
+    """Import the reference v-variant `panoswin_transformer.py` (torch CPU,
+    the backbone the detection configs instantiate)."""
+    try:
+        if load_reference_panoswin() is None:
+            return None
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "ref_panoswin_v2",
+            REFERENCE_ROOT + "/mmdet/models/backbones/panoswin_transformer.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    except Exception:
+        return None
+
+
 def load_reference_swin():
     """Import the reference stock `swin_transformer.py` (torch CPU).  Its
     `from ..builder import BACKBONES` relative import can't resolve
