@@ -74,12 +74,17 @@ class DetDataLoader:
         gt_labels = np.zeros((B, self.max_gt), np.int32)
         gt_valid = np.zeros((B, self.max_gt), bool)
         ori_shapes = np.zeros((B, 2), np.float32)
+        pano_ratio_v = np.zeros((B, 3), np.float32)
+        pano_ratio_v[:, 1] = 1.0
         for i, s in enumerate(samples):
             img = s["img"]
             images[i, :img.shape[0], :img.shape[1]] = img
             img_shapes[i] = img.shape[:2]
             scale_factors[i] = s.get("scale_factor", np.ones(4, np.float32))
             ori_shapes[i] = s.get("ori_shape", img.shape)[:2]
+            prv = s.get("pano_ratio_v", np.array([0.0, 1.0], np.float32))
+            pano_ratio_v[i, :2] = prv[:2]
+            pano_ratio_v[i, 2] = img.shape[0]  # ori_h at network scale
             b = s.get("gt_bboxes")
             if b is not None and len(b):
                 n = min(len(b), self.max_gt)
@@ -89,7 +94,7 @@ class DetDataLoader:
         return {"images": images, "img_shapes": img_shapes,
                 "scale_factors": scale_factors, "ori_shapes": ori_shapes,
                 "gt_boxes": gt_boxes, "gt_labels": gt_labels,
-                "gt_valid": gt_valid}
+                "gt_valid": gt_valid, "pano_ratio_v": pano_ratio_v}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._epoch_indices()

@@ -93,8 +93,15 @@ class TwoStageDetector(nn.Module):
             scales=self.anchor_scales)
 
     # ---------------------------------------------------------------- utils
-    def extract_feat(self, images, train=False):
-        feats = self.backbone_m(images, train=train)
+    def extract_feat(self, images, train=False, pano_ratio_v=None):
+        """`PanoFasterRCNN.extract_feat:34`: the pano detector threads
+        pano_ratio_v into the backbone (only the V2 backbone consumes it)."""
+        takes_ratio = type(self.backbone_m).__name__ == "PanoSwinTransformerV2"
+        if pano_ratio_v is not None and takes_ratio:
+            feats = self.backbone_m(images, pano_ratio_v=pano_ratio_v,
+                                    train=train)
+        else:
+            feats = self.backbone_m(images, train=train)
         return self.neck_m(feats)
 
     def _anchors(self, cls_scores):
@@ -123,11 +130,12 @@ class TwoStageDetector(nn.Module):
 
     # -------------------------------------------------------------- training
     def forward_train(self, images, img_shapes, gt_boxes, gt_labels,
-                      gt_valid, gt_masks=None) -> Dict[str, jnp.ndarray]:
+                      gt_valid, gt_masks=None,
+                      pano_ratio_v=None) -> Dict[str, jnp.ndarray]:
         """images: (B, H, W, 3); img_shapes: (B, 2) unpadded (h, w);
         gt_boxes: (B, G, 4) xyxy; gt_labels: (B, G); gt_valid: (B, G)."""
         tc = self.train_cfg or default_train_cfg()
-        feats = self.extract_feat(images, train=True)
+        feats = self.extract_feat(images, train=True, pano_ratio_v=pano_ratio_v)
         cls_scores, bbox_preds = self.rpn_m(feats)
         level_anchors, anchors = self._anchors(cls_scores)
 
@@ -185,14 +193,16 @@ class TwoStageDetector(nn.Module):
         return losses_out
 
     # -------------------------------------------------------------- testing
-    def simple_test(self, images, img_shapes, scale_factors=None):
+    def simple_test(self, images, img_shapes, scale_factors=None,
+                    pano_ratio_v=None):
         """Returns DetResult batch: boxes (B, K, 4), scores, labels, mask.
 
         scale_factors: (B, 4) resize factors; boxes are divided by them to
         land in original-image coordinates (mmdet `rescale=True`).
         """
         cfg = self.test_cfg or default_test_cfg()
-        feats = self.extract_feat(images, train=False)
+        feats = self.extract_feat(images, train=False,
+                                  pano_ratio_v=pano_ratio_v)
         cls_scores, bbox_preds = self.rpn_m(feats)
         level_anchors, _ = self._anchors(cls_scores)
         props = rpn_proposals(cls_scores, bbox_preds, level_anchors,

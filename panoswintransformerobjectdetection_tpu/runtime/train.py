@@ -40,15 +40,23 @@ def make_train_step(detector, loss_keys: Optional[tuple] = None) -> Callable:
     sharded over the data axis and state replicated; XLA then inserts the
     gradient all-reduce.
     """
+    import inspect
+    sig_params = inspect.signature(detector.forward_train).parameters
+
     def loss_fn(params, batch_stats, batch, rng):
         r1, r2 = jax.random.split(jax.random.fold_in(rng, 0))
+        extra = {}
+        if "gt_masks" in sig_params and batch.get("gt_masks") is not None:
+            extra["gt_masks"] = batch["gt_masks"]
+        if "pano_ratio_v" in sig_params and batch.get("pano_ratio_v") is not None:
+            extra["pano_ratio_v"] = batch["pano_ratio_v"]
         out, updates = detector.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["images"], batch["img_shapes"], batch["gt_boxes"],
             batch["gt_labels"], batch["gt_valid"],
             method=detector.forward_train,
             rngs={"sampler": r1, "droppath": r2},
-            mutable=["batch_stats"])
+            mutable=["batch_stats"], **extra)
         keys = loss_keys or tuple(k for k in out if "loss" in k)
         total = sum(out[k] for k in keys)
         return total, (out, updates.get("batch_stats", batch_stats))

@@ -88,3 +88,49 @@ class TestV2Pieces:
         assert v.shape == (8, 16)
         # full pano: v spans ~(-pi/2, pi/2)
         assert float(v[0, 0]) < 0 < float(v[-1, 0])
+
+
+class TestV2Detector:
+    def test_detector_with_v2_backbone(self, rng):
+        """PanoFasterRCNN + V2 backbone end-to-end with pano_ratio_v."""
+        import jax
+        from panoswintransformerobjectdetection_tpu.models import DETECTORS, build
+        det = build(DETECTORS, {
+            "type": "PanoFasterRCNN",
+            "backbone": {"type": "PanoSwinTransformerV2", "embed_dim": 6,
+                         "depths": (1, 1, 1, 1), "num_heads": (1, 1, 1, 2),
+                         "window_size": 4, "drop_path_rate": 0.0},
+            "neck": {"type": "FPN", "in_channels": (6, 12, 24, 48),
+                     "out_channels": 16, "num_outs": 5},
+            "num_classes": 3,
+            "train_cfg": {
+                "rpn": {"pos_iou_thr": 0.7, "neg_iou_thr": 0.3,
+                        "min_pos_iou": 0.3, "num_samples": 32,
+                        "pos_fraction": 0.5},
+                "rpn_proposal": {"nms_pre": 64, "max_per_img": 16,
+                                 "iou_threshold": 0.7, "min_bbox_size": 0},
+                "rcnn": {"pos_iou_thr": 0.5, "neg_iou_thr": 0.5,
+                         "min_pos_iou": 0.5, "num_samples": 16,
+                         "pos_fraction": 0.25}},
+            "test_cfg": {
+                "rpn": {"nms_pre": 32, "max_per_img": 8, "iou_threshold": 0.7,
+                        "min_bbox_size": 0},
+                "rcnn": {"score_thr": 0.05, "iou_threshold": 0.5,
+                         "max_per_img": 4}},
+        })
+        B = 2
+        imgs = jnp.asarray(rng.random((B, 32, 64, 3)).astype(np.float32))
+        variables = det.init(jax.random.PRNGKey(0), imgs)
+        shapes = jnp.full((B, 2), 32.0).at[:, 1].set(64.0)
+        prv = jnp.asarray([[0.0, 1.0, 32.0], [0.1, 0.9, 40.0]], jnp.float32)
+        gtb = jnp.asarray(np.tile(np.array([[[4, 4, 28, 24]]], np.float32), (B, 1, 1)))
+        gtl = jnp.zeros((B, 1), jnp.int32)
+        gtv = jnp.ones((B, 1), bool)
+        losses, _ = det.apply(variables, imgs, shapes, gtb, gtl, gtv, None, prv,
+                              method=det.forward_train,
+                              rngs={"sampler": jax.random.PRNGKey(1)},
+                              mutable=["batch_stats"])
+        assert np.isfinite(float(losses["loss_cls"]))
+        res = det.apply(variables, imgs, shapes, jnp.ones((B, 4), jnp.float32),
+                        prv, method=det.simple_test)
+        assert res.boxes.shape == (B, 4, 4)
