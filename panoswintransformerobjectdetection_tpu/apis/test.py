@@ -43,3 +43,74 @@ def single_device_test(det, variables, dataset, *, batch_size: int = 1,
         if progress and bi % 50 == 0:
             print(f"eval batch {bi}/{len(loader)}")
     return results
+
+
+def multi_host_test(det, variables, dataset, *, batch_size: int = 1,
+                    max_gt: int = 100) -> Optional[List[dict]]:
+    """Distributed eval (`multi_gpu_test` + `collect_results` role,
+    SURVEY.md 5.8): each host evaluates a strided shard, padded fixed-shape
+    result buffers are all-gathered with `process_allgather`, and host 0
+    returns the merged per-image detections (others get None)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from ..data.loader import DetDataLoader
+
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    loader = DetDataLoader(dataset, batch_size=batch_size, shuffle=False,
+                           max_gt=max_gt, drop_last=False,
+                           num_shards=nproc, shard_id=pid)
+
+    @jax.jit
+    def run(variables, images, img_shapes, scale_factors):
+        return det.apply(variables, images, img_shapes, scale_factors,
+                         method=det.simple_test)
+
+    boxes, scores, labels, masks = [], [], [], []
+    for batch in loader:
+        out = run(variables, jnp.asarray(batch["images"]),
+                  jnp.asarray(batch["img_shapes"]),
+                  jnp.asarray(batch["scale_factors"]))
+        out = jax.device_get(out)
+        boxes.append(out.boxes)
+        scores.append(out.scores)
+        labels.append(out.labels)
+        masks.append(out.mask)
+    local = {
+        "boxes": np.concatenate(boxes) if boxes else np.zeros((0, 1, 4)),
+        "scores": np.concatenate(scores) if scores else np.zeros((0, 1)),
+        "labels": np.concatenate(labels) if labels else np.zeros((0, 1), np.int32),
+        "mask": np.concatenate(masks) if masks else np.zeros((0, 1), bool),
+    }
+
+    n_total = len(dataset)
+    if nproc > 1:
+        # pad every host's shard to the same length, then allgather
+        shard_max = -(-n_total // nproc)
+        def padshard(x):
+            pad = shard_max - x.shape[0]
+            if pad > 0:
+                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            return x[:shard_max]
+        local = {k: padshard(v) for k, v in local.items()}
+        gathered = multihost_utils.process_allgather(local, tiled=False)
+        if pid != 0:
+            return None
+        results = []
+        for g in range(n_total):
+            h, pos = g % nproc, g // nproc
+            m = np.asarray(gathered["mask"][h][pos])
+            results.append({
+                "boxes": np.asarray(gathered["boxes"][h][pos])[m],
+                "scores": np.asarray(gathered["scores"][h][pos])[m],
+                "labels": np.asarray(gathered["labels"][h][pos])[m]})
+        return results
+
+    results = []
+    for i in range(min(local["boxes"].shape[0], n_total)):
+        m = local["mask"][i]
+        results.append({"boxes": local["boxes"][i][m],
+                        "scores": local["scores"][i][m],
+                        "labels": local["labels"][i][m]})
+    return results

@@ -159,3 +159,29 @@ class TestTrainEvalLoop:
         l2 = jax.tree_util.tree_leaves(state2.params)
         for a, b in zip(l1, l2):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestMultiHostEval:
+    def test_single_process_path(self, tiny_cfg_and_data):
+        """multi_host_test on 1 process == single_device_test results."""
+        import jax
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.apis.test import (
+            single_device_test, multi_host_test)
+        from panoswintransformerobjectdetection_tpu.data import (
+            StreetDataset, LoadImageFromFile, LoadAnnotations, Normalize, Pad)
+        from tests.test_detector import tiny_detector
+
+        ann_file, img_dir = tiny_cfg_and_data
+        det = tiny_detector()
+        variables = det.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 64, 128, 3), jnp.float32))
+        pipeline = [LoadImageFromFile(), LoadAnnotations(),
+                    Normalize([0, 0, 0], [255, 255, 255]), Pad(32)]
+        ds = StreetDataset(ann_file, img_prefix=img_dir, pipeline=pipeline,
+                           test_mode=True)
+        a = single_device_test(det, variables, ds, batch_size=2, max_gt=8)
+        b = multi_host_test(det, variables, ds, batch_size=2, max_gt=8)
+        assert len(a) == len(b) == len(ds)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x["boxes"], y["boxes"], atol=1e-5)
