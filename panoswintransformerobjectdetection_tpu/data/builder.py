@@ -18,6 +18,8 @@ PIPELINES = {
     "RollAug": T.RollAug,
     "PanoCheck": T.PanoCheck,
     "BasketBallExpand": T.BasketBallExpand,
+    "RandomCrop": T.RandomCrop,
+    "AutoAugment": T.AutoAugment,
 }
 
 DATASETS = {

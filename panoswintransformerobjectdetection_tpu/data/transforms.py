@@ -309,3 +309,52 @@ class PanoCheck:
     def __call__(self, results):
         results.setdefault("pano_ratio_v", np.array([0.0, 1.0], np.float32))
         return results
+
+
+class RandomCrop:
+    """Random crop (mmdet `RandomCrop`, crop_type='absolute_range'):
+    sample a crop size in [crop_size, (h, w)], shift boxes, drop boxes whose
+    center leaves the crop (allow_negative_crop keeps empty results)."""
+    def __init__(self, crop_size, crop_type: str = "absolute_range",
+                 allow_negative_crop: bool = True):
+        self.crop_size = tuple(crop_size)
+        self.crop_type = crop_type
+        self.allow_negative_crop = allow_negative_crop
+
+    def __call__(self, results):
+        img = results["img"]
+        h, w = img.shape[:2]
+        if self.crop_type == "absolute_range":
+            ch = min(h, random.randint(min(self.crop_size[0], h), max(self.crop_size[0], min(self.crop_size[1], h))))
+            cw = min(w, random.randint(min(self.crop_size[0], w), max(self.crop_size[0], min(self.crop_size[1], w))))
+        else:  # 'absolute'
+            ch, cw = min(self.crop_size[0], h), min(self.crop_size[1], w)
+        y0 = random.randint(0, h - ch)
+        x0 = random.randint(0, w - cw)
+        crop = img[y0:y0 + ch, x0:x0 + cw]
+        boxes = results.get("gt_bboxes")
+        if boxes is not None and len(boxes):
+            b = boxes.copy()
+            b[:, 0::2] -= x0
+            b[:, 1::2] -= y0
+            b[:, 0::2] = b[:, 0::2].clip(0, cw)
+            b[:, 1::2] = b[:, 1::2].clip(0, ch)
+            keep = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+            if not keep.any() and not self.allow_negative_crop:
+                return results  # skip the crop entirely
+            results["gt_bboxes"] = b[keep]
+            results["gt_labels"] = results["gt_labels"][keep]
+        results["img"] = np.ascontiguousarray(crop)
+        results["img_shape"] = crop.shape
+        return results
+
+
+class AutoAugment:
+    """mmdet `AutoAugment`: pick one policy (a list of transforms, built via
+    `data.builder.build_pipeline`) uniformly per sample."""
+    def __init__(self, policies):
+        from .builder import build_pipeline
+        self.policies = [Compose(build_pipeline(p)) for p in policies]
+
+    def __call__(self, results):
+        return random.choice(self.policies)(results)

@@ -184,3 +184,36 @@ class TestEval:
         assert m["bbox_mAP_50"] == 1.0
         assert m["bbox_mAP_75"] == 0.0
         assert 0 < m["bbox_mAP"] < 1
+
+
+class TestCropAndAutoAugment:
+    def test_random_crop_bounds(self):
+        import random as pyrandom
+        from panoswintransformerobjectdetection_tpu.data.transforms import RandomCrop
+        pyrandom.seed(0)
+        r = synth_results(64, 128, n=5)
+        out = RandomCrop(crop_size=(32, 48))(r)
+        ch, cw = out["img"].shape[:2]
+        assert 32 <= ch <= 64 and 32 <= cw <= 128
+        b = out["gt_bboxes"]
+        if len(b):
+            assert (b[:, 0::2] <= cw).all() and (b[:, 1::2] <= ch).all()
+            assert (b >= 0).all()
+            assert len(out["gt_labels"]) == len(b)
+
+    def test_autoaugment_policies(self):
+        import random as pyrandom
+        from panoswintransformerobjectdetection_tpu.data.transforms import AutoAugment
+        pyrandom.seed(1)
+        aug = AutoAugment(policies=[
+            [dict(type="Resize", img_scale=(48, 96), keep_ratio=True)],
+            [dict(type="Resize", img_scale=(32, 64), keep_ratio=True),
+             dict(type="RandomCrop", crop_type="absolute_range",
+                  crop_size=(16, 24), allow_negative_crop=True)],
+        ])
+        hs = set()
+        for seed in range(8):
+            pyrandom.seed(seed)
+            out = aug(synth_results(64, 128))
+            hs.add(out["img"].shape[0])
+        assert len(hs) >= 2  # both policies exercised
