@@ -107,3 +107,29 @@ def flip_boxes(boxes: jnp.ndarray, img_w: float, direction: str = "horizontal") 
     x1 = img_w - boxes[..., 2]
     x2 = img_w - boxes[..., 0]
     return jnp.stack([x1, boxes[..., 1], x2, boxes[..., 3]], axis=-1)
+
+
+def xyxy_to_tlwh(boxes: jnp.ndarray) -> jnp.ndarray:
+    """xyxy -> (x, y, w, h) (`lzx/coor_transition.py:4 xyxy2tlwh`)."""
+    return jnp.stack([boxes[..., 0], boxes[..., 1],
+                      boxes[..., 2] - boxes[..., 0],
+                      boxes[..., 3] - boxes[..., 1]], axis=-1)
+
+
+def tlwh_to_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(x, y, w, h) -> xyxy (`coor_transition.py:11`)."""
+    return jnp.stack([boxes[..., 0], boxes[..., 1],
+                      boxes[..., 0] + boxes[..., 2],
+                      boxes[..., 1] + boxes[..., 3]], axis=-1)
+
+
+def normalize01_xyxy(boxes: jnp.ndarray, w, h) -> jnp.ndarray:
+    """Pixel xyxy -> [0, 1] normalized (`coor_transition.py:18`)."""
+    s = jnp.asarray([w, h, w, h], boxes.dtype)
+    return boxes / s
+
+
+def unnormalize01_xyxy(boxes: jnp.ndarray, w, h) -> jnp.ndarray:
+    """[0, 1] normalized xyxy -> pixels (`coor_transition.py:24`)."""
+    s = jnp.asarray([w, h, w, h], boxes.dtype)
+    return boxes * s

@@ -4,6 +4,7 @@ these fine so no Pallas needed (SURVEY.md 2.9: sigmoid_focal_loss -> jnp).
 """
 
 import jax
+import math
 import jax.numpy as jnp
 
 
@@ -75,3 +76,48 @@ def accuracy(logits, labels, mask=None):
     if mask is not None:
         return (correct * mask).sum() / jnp.maximum(mask.sum(), 1.0)
     return correct.mean()
+
+
+def ghm_c_loss(logits, labels, num_classes, bins=10, momentum=0.0,
+               weight=None, avg_factor=None):
+    """Gradient-Harmonizing classification loss (`ghm_loss.py` GHMC, the
+    stateless variant): per-example weight = N / density(|g|) where
+    g = sigmoid(p) - target, binned into `bins` gradient-norm buckets."""
+    t = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
+    p = jax.nn.sigmoid(logits)
+    g = jnp.abs(p - t)
+    valid = jnp.ones_like(g) if weight is None else \
+        jnp.broadcast_to(weight[..., None], g.shape)
+    n_valid = jnp.maximum(valid.sum(), 1.0)
+    edges = jnp.linspace(0.0, 1.0 + 1e-6, bins + 1)
+    idx = jnp.clip(jnp.searchsorted(edges, g, side="right") - 1, 0, bins - 1)
+    counts = jnp.zeros(bins).at[idx.reshape(-1)].add(valid.reshape(-1))
+    density = counts[idx] * (counts > 0).sum() / n_valid
+    w = jnp.where(density > 0, 1.0 / jnp.maximum(density, 1e-12), 0.0)
+    bce = jnp.maximum(logits, 0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    loss = (bce * w * valid).sum(-1)
+    return _reduce(loss, None, avg_factor if avg_factor is not None else n_valid)
+
+
+def iou_loss(pred, target, weight=None, avg_factor=None, eps=1e-6):
+    """-log(IoU) over matched xyxy box pairs (`iou_loss.py` IoULoss)."""
+    lt = jnp.maximum(pred[..., :2], target[..., :2])
+    rb = jnp.minimum(pred[..., 2:], target[..., 2:])
+    wh = jnp.clip(rb - lt, 0, None)
+    overlap = wh[..., 0] * wh[..., 1]
+    ap = (pred[..., 2] - pred[..., 0]) * (pred[..., 3] - pred[..., 1])
+    ag = (target[..., 2] - target[..., 0]) * (target[..., 3] - target[..., 1])
+    iou = overlap / jnp.maximum(ap + ag - overlap, eps)
+    return _reduce(-jnp.log(jnp.clip(iou, eps, 1.0)), weight, avg_factor)
+
+
+def balanced_l1_loss(pred, target, beta=1.0, alpha=0.5, gamma=1.5,
+                     weight=None, avg_factor=None):
+    """Libra R-CNN balanced L1 (`balanced_l1_loss.py`)."""
+    diff = jnp.abs(pred - target)
+    b = math.e ** (gamma / alpha) - 1
+    loss = jnp.where(
+        diff < beta,
+        alpha / b * (b * diff + 1) * jnp.log1p(b * diff / beta) - alpha * diff,
+        gamma * diff + gamma / b - alpha * beta)
+    return _reduce(loss, weight, avg_factor)
