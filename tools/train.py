@@ -18,12 +18,18 @@ def parse_args():
     p.add_argument("--work-dir", default=None)
     p.add_argument("--resume-from", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--launcher", choices=["none", "jax"], default="none",
+                   help="'jax': initialize jax.distributed for multi-host"
+                        " TPU pods (the init_dist role)")
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.launcher == "jax":
+        import jax
+        jax.distributed.initialize()
     from panoswintransformerobjectdetection_tpu.runtime.config import (
         load_config, set_by_dotted)
     from panoswintransformerobjectdetection_tpu.apis.inference import (
