@@ -71,3 +71,40 @@ class FPN(nn.Module):
                     outs.append(nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
                                         padding=1, dtype=dt, name=f"extra_{i}")(src))
         return tuple(outs)
+
+
+@NECKS.register
+class PAFPN(FPN):
+    """Path-Aggregation FPN (`mmdet/models/necks/pafpn.py`): FPN top-down
+    pass followed by an extra bottom-up path with stride-2 downsample convs."""
+
+    @nn.compact
+    def __call__(self, feats):
+        assert len(feats) == len(self.in_channels)
+        dt = resolve_dtype(self.dtype)
+        used = feats[self.start_level:]
+        if dt is not None:
+            used = [f.astype(dt) for f in used]
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), dtype=dt, name=f"lateral_{i}")(f)
+            for i, f in enumerate(used)
+        ]
+        for i in range(len(laterals) - 1, 0, -1):
+            h, w = laterals[i - 1].shape[1:3]
+            laterals[i - 1] = laterals[i - 1] + nearest_upsample(laterals[i], h, w)
+        inter = [
+            nn.Conv(self.out_channels, (3, 3), padding=1, dtype=dt,
+                    name=f"fpn_{i}")(l)
+            for i, l in enumerate(laterals)
+        ]
+        # bottom-up augmentation
+        outs = [inter[0]]
+        for i in range(1, len(inter)):
+            down = nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                           dtype=dt, name=f"downsample_{i - 1}")(outs[-1])
+            outs.append(nn.Conv(self.out_channels, (3, 3), padding=1, dtype=dt,
+                                name=f"pafpn_{i - 1}")(down + inter[i]))
+        if self.num_outs > len(outs):
+            for _ in range(self.num_outs - len(outs)):
+                outs.append(max_pool_s2(outs[-1]))
+        return tuple(outs)
