@@ -67,15 +67,20 @@ def _default_test_pipeline(img_norm=None):
     ])
 
 
-@functools.lru_cache(maxsize=8)
+_JIT_CACHE: dict = {}
+
+
 def _jitted_simple_test(det):
+    # keyed by object identity: flax modules with dict-valued config
+    # attributes are unhashable, so lru_cache can't be used
     import jax
-
-    def fn(variables, images, img_shapes, scale_factors):
-        return det.apply(variables, images, img_shapes, scale_factors,
-                         method=det.simple_test)
-
-    return jax.jit(fn)
+    key = id(det)
+    if key not in _JIT_CACHE:
+        def fn(variables, images, img_shapes, scale_factors):
+            return det.apply(variables, images, img_shapes, scale_factors,
+                             method=det.simple_test)
+        _JIT_CACHE[key] = jax.jit(fn)
+    return _JIT_CACHE[key]
 
 
 def inference_detector(det, variables, img, pipeline=None, num_classes=None):

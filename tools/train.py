@@ -53,7 +53,8 @@ def main():
 
     if "classes" in cfg:
         for split in ("train", "val", "test"):
-            cfg["data"][split]["classes"] = cfg["classes"]
+            if cfg["data"].get(split):
+                cfg["data"][split]["classes"] = cfg["classes"]
 
     det = build_detector_from_cfg(cfg)
     dataset = build_dataset(cfg["data"]["train"])
