@@ -27,6 +27,9 @@ DATASETS = {
     "StreetDataset": D.StreetDataset,
     "Indoor360Dataset": D.Indoor360Dataset,
     "VOCDataset": D.VOCDataset,
+    "LVISDataset": D.LVISDataset,
+    "CityscapesDataset": D.CityscapesDataset,
+    "WIDERFaceDataset": D.WIDERFaceDataset,
 }
 
 

@@ -205,3 +205,50 @@ class VOCDataset(CocoStyleDataset):
         from ..core.evaluation import eval_map_voc
         gts = [{"bboxes": r["bboxes"], "labels": r["labels"]} for r in self.records]
         return eval_map_voc(detections, gts, len(self.CLASSES), iou_thr)
+
+
+class LVISDataset(CocoStyleDataset):
+    """LVIS v1 (`mmdet/datasets/lvis.py`): COCO-format json whose images
+    carry `coco_url`/`neg_category_ids`; category names come from the json
+    itself (1203 classes)."""
+
+    def _parse(self, ann_file, filter_empty):
+        with open(ann_file) as f:
+            data = json.load(f)
+        cats = sorted(data["categories"], key=lambda c: c["id"])
+        self.CLASSES = tuple(c["name"] for c in cats)
+        self.cat_id_to_label = {c["id"]: i for i, c in enumerate(cats)}
+        anns_by_img = {}
+        for a in data.get("annotations", []):
+            anns_by_img.setdefault(a["image_id"], []).append(a)
+        records = []
+        for im in data["images"]:
+            fn = im.get("file_name")
+            if fn is None:  # LVIS v1 images reference coco_url
+                fn = "/".join(im["coco_url"].split("/")[-2:])
+            boxes, labels = [], []
+            for a in anns_by_img.get(im["id"], []):
+                b = self._ann_to_xyxy(a, im)
+                if b is None or a["category_id"] not in self.cat_id_to_label:
+                    continue
+                boxes.append(b)
+                labels.append(self.cat_id_to_label[a["category_id"]])
+            if filter_empty and not boxes:
+                continue
+            records.append({"id": im["id"], "filename": fn,
+                            "width": im["width"], "height": im["height"],
+                            "bboxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+                            "labels": np.asarray(labels, np.int64)})
+        return records
+
+
+class CityscapesDataset(CocoStyleDataset):
+    """Cityscapes instances in COCO-json form (`mmdet/datasets/cityscapes.py`;
+    produce the json with tools/dataset_converters upstream)."""
+    CLASSES = ("person", "rider", "car", "truck", "bus", "train",
+               "motorcycle", "bicycle")
+
+
+class WIDERFaceDataset(CocoStyleDataset):
+    """WIDER-Face single-class detection (`mmdet/datasets/wider_face.py`)."""
+    CLASSES = ("face",)
