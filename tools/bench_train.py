@@ -48,7 +48,8 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch, key)
-    jax.block_until_ready(m["loss"])
+        # sync EVERY step: donated-buffer pipelining otherwise hides compute
+        jax.block_until_ready(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     print(f"train step: {dt * 1000:.1f} ms/step (B={B}, {B / dt:.2f} img/s/chip)",
           flush=True)
