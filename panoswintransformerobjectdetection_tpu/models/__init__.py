@@ -14,5 +14,6 @@ from . import cascade  # noqa: F401
 from . import classifier  # noqa: F401
 from . import retinanet  # noqa: F401
 from . import fcos  # noqa: F401
+from . import detr  # noqa: F401
 
 __all__ = ["BACKBONES", "NECKS", "HEADS", "DETECTORS", "LOSSES", "build", "register"]
