@@ -330,3 +330,47 @@ def convert_panoswin_v2_backbone(sd: Dict[str, Any], depths,
         if f"norm{i}.weight" in sd:
             params[f"norm{i}"] = _ln(sd, f"norm{i}")
     return params, stats
+
+
+def fold_batchnorm(params: Dict[str, Any], batch_stats: Dict[str, Any],
+                   eps: float = 1e-5) -> Tuple[dict, dict]:
+    """Fold eval-mode BatchNorm into the preceding conv for inference.
+
+    For every module containing conv `<name>` followed by bn `bn<name
+    suffix>` (the `conv0/bn0`, `conv1/bn1` stem convention and ResNet's
+    `conv_i/bn_i`): W' = W * g/s, b' = beta + (b - mean) * g/s with
+    s = sqrt(var + eps); the BN is left with identity params so the module
+    graph is unchanged.  Returns new (params, batch_stats).
+    """
+    import copy
+    import jax
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
+
+    def walk(p, s):
+        if not isinstance(p, dict):
+            return
+        for key in list(p.keys()):
+            if key.startswith("bn") and isinstance(s, dict) and key in s:
+                conv_key = "conv" + key[2:]
+                if conv_key not in p and key[2:].isdigit() is False:
+                    conv_key = key.replace("bn", "conv", 1)
+                if conv_key in p and "kernel" in p[conv_key]:
+                    g = p[key]["scale"]
+                    b = p[key]["bias"]
+                    mean = s[key]["mean"]
+                    var = s[key]["var"]
+                    f = g / np.sqrt(var + eps)
+                    p[conv_key]["kernel"] = p[conv_key]["kernel"] * f
+                    cb = p[conv_key].get("bias", np.zeros_like(b))
+                    p[conv_key]["bias"] = b + (cb - mean) * f
+                    p[key]["scale"] = np.ones_like(g)
+                    p[key]["bias"] = np.zeros_like(b)
+                    s[key]["mean"] = np.zeros_like(mean)
+                    s[key]["var"] = np.ones_like(var) - eps
+        for key, v in p.items():
+            if isinstance(v, dict):
+                walk(v, s.get(key, {}) if isinstance(s, dict) else {})
+
+    walk(params, batch_stats)
+    return params, batch_stats

@@ -94,3 +94,22 @@ class TestBiasTableResize:
         t = rng.random((169, 4)).astype(np.float32)  # (2*7-1)^2
         out = resize_bias_table(t, 7, 12)
         assert out.shape == (23 * 23, 4)
+
+
+class TestBNFolding:
+    def test_stem_outputs_unchanged(self, rng):
+        import jax
+        from panoswintransformerobjectdetection_tpu.models.layers import (
+            ConvStemPatchEmbed)
+        from panoswintransformerobjectdetection_tpu.runtime.checkpoint import (
+            fold_batchnorm)
+        m = ConvStemPatchEmbed(patch_size=4, embed_dim=12)
+        x = jnp.asarray(rng.random((1, 16, 32, 3)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), x)
+        # give BN non-trivial running stats
+        bs = jax.tree_util.tree_map(lambda a: a + 0.3, v["batch_stats"])
+        bs = jax.tree_util.tree_map(np.abs, bs)
+        ref = m.apply({"params": v["params"], "batch_stats": bs}, x)
+        fp, fbs = fold_batchnorm(v["params"], bs)
+        out = m.apply({"params": fp, "batch_stats": fbs}, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
