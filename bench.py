@@ -33,6 +33,11 @@ def main():
     rng = jax.random.PRNGKey(0)
     images = jnp.asarray(np.random.default_rng(0).random((B, H, W, 3)), jnp.float32)
     variables = det.init(rng, images[:1])
+    # inference-mode conv+BN fusion (stem runs at full input resolution)
+    from panoswintransformerobjectdetection_tpu.runtime.checkpoint import (
+        fold_batchnorm)
+    fp, fbs = fold_batchnorm(variables["params"], variables["batch_stats"])
+    variables = {"params": fp, "batch_stats": fbs}
     img_shapes = jnp.tile(jnp.array([[H, W]], jnp.float32), (B, 1))
     scale_factors = jnp.ones((B, 4), jnp.float32)
 
