@@ -84,6 +84,8 @@ class ConvStemPatchEmbed(nn.Module):
     embed_dim: int = 96
     use_norm: bool = True
     dtype: Any = None
+    fuse_bn: bool = False   # inference: BN pre-folded into conv weights
+                            # (runtime.checkpoint.fold_batchnorm) — skip it
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -98,12 +100,14 @@ class ConvStemPatchEmbed(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, ps - H % ps), (0, 0), (0, 0)))
         d3 = self.embed_dim // 3
         x = nn.Conv(d3, (3, 3), padding=1, dtype=dt, name="conv0")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn0")(x)
+        if not self.fuse_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name="bn0")(x)
         x = nn.relu(x)
         x = nn.Conv(d3 * 2, (3, 3), padding=1, dtype=dt, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(x)
+        if not self.fuse_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name="bn1")(x)
         x = nn.relu(x)
         x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), dtype=dt, name="proj")(x)
         if self.use_norm:

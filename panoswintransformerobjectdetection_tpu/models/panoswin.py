@@ -403,6 +403,7 @@ class PanoSwinTransformer(nn.Module):
     use_checkpoint: bool = False
     dtype: Any = None
     fused_attention: bool = False
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(self, images, pano_mode: Optional[bool] = None,
@@ -416,6 +417,7 @@ class PanoSwinTransformer(nn.Module):
 
         x = ConvStemPatchEmbed(self.patch_size, self.embed_dim,
                                use_norm=self.patch_norm, dtype=self.dtype,
+                               fuse_bn=self.fuse_bn,
                                name="patch_embed")(images, train=train)
         B, H, W, C = x.shape
 
