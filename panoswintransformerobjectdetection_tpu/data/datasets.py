@@ -70,6 +70,7 @@ class CocoStyleDataset:
         for im in coco["images"]:
             anns = anns_by_img.get(im["id"], [])
             boxes, labels = [], []
+            polys = []
             for a in anns:
                 if a.get("iscrowd", 0) or a["category_id"] not in self.cat_id_to_label:
                     continue
@@ -78,6 +79,8 @@ class CocoStyleDataset:
                     continue
                 boxes.append(b)
                 labels.append(self.cat_id_to_label[a["category_id"]])
+                seg = a.get("segmentation")
+                polys.append(seg if isinstance(seg, list) else None)
             if filter_empty and not boxes:
                 continue
             records.append({
@@ -87,6 +90,7 @@ class CocoStyleDataset:
                 "height": im["height"],
                 "bboxes": np.asarray(boxes, np.float32).reshape(-1, 4),
                 "labels": np.asarray(labels, np.int64),
+                "polys": polys,
             })
         return records
 
@@ -105,7 +109,8 @@ class CocoStyleDataset:
         results = {
             "img_path": osp.join(self.img_prefix, r["filename"]),
             "img_info": r,
-            "ann_info": {"bboxes": r["bboxes"], "labels": r["labels"]},
+            "ann_info": {"bboxes": r["bboxes"], "labels": r["labels"],
+                         "polys": r.get("polys")},
         }
         if self.pipeline is not None:
             results = self.pipeline(results)

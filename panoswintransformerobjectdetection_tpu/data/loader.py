@@ -76,6 +76,9 @@ class DetDataLoader:
         ori_shapes = np.zeros((B, 2), np.float32)
         pano_ratio_v = np.zeros((B, 3), np.float32)
         pano_ratio_v[:, 1] = 1.0
+        with_masks = any("gt_masks" in s for s in samples)
+        gt_masks = np.zeros((B, self.max_gt, bh, bw), np.uint8) \
+            if with_masks else None
         for i, s in enumerate(samples):
             img = s["img"]
             images[i, :img.shape[0], :img.shape[1]] = img
@@ -91,10 +94,16 @@ class DetDataLoader:
                 gt_boxes[i, :n] = b[:n]
                 gt_labels[i, :n] = s["gt_labels"][:n]
                 gt_valid[i, :n] = True
-        return {"images": images, "img_shapes": img_shapes,
-                "scale_factors": scale_factors, "ori_shapes": ori_shapes,
-                "gt_boxes": gt_boxes, "gt_labels": gt_labels,
-                "gt_valid": gt_valid, "pano_ratio_v": pano_ratio_v}
+                if gt_masks is not None and "gt_masks" in s and len(s["gt_masks"]):
+                    m = s["gt_masks"][:n]
+                    gt_masks[i, :n, :m.shape[1], :m.shape[2]] = m
+        out = {"images": images, "img_shapes": img_shapes,
+               "scale_factors": scale_factors, "ori_shapes": ori_shapes,
+               "gt_boxes": gt_boxes, "gt_labels": gt_labels,
+               "gt_valid": gt_valid, "pano_ratio_v": pano_ratio_v}
+        if gt_masks is not None:
+            out["gt_masks"] = gt_masks
+        return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._epoch_indices()

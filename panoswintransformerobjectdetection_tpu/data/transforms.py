@@ -53,16 +53,34 @@ class LoadImageFromFile:
 
 
 class LoadAnnotations:
-    """Copies pre-parsed ann arrays into working keys.  The pano subclass
-    hook (`LoadPanoAnnotations:392`, BFoV -> sphere) runs at dataset parse
-    time in this design (see `datasets.Indoor360Dataset`)."""
-    def __init__(self, with_bbox: bool = True, **_):
+    """Copies pre-parsed ann arrays into working keys; `with_mask`
+    rasterizes COCO polygons to per-instance bitmaps
+    (`pipelines/loading.py LoadAnnotations` + BitmapMasks role).  The pano
+    subclass hook (`LoadPanoAnnotations:392`, BFoV -> sphere) runs at
+    dataset parse time (see `datasets.Indoor360Dataset`)."""
+    def __init__(self, with_bbox: bool = True, with_mask: bool = False, **_):
         self.with_bbox = with_bbox
+        self.with_mask = with_mask
 
     def __call__(self, results):
         ann = results["ann_info"]
         results["gt_bboxes"] = ann["bboxes"].astype(np.float32).copy()
         results["gt_labels"] = ann["labels"].astype(np.int64).copy()
+        if self.with_mask:
+            h, w = results["img"].shape[:2]
+            polys = ann.get("polys") or [None] * len(results["gt_bboxes"])
+            masks = np.zeros((len(polys), h, w), np.uint8)
+            for i, pl in enumerate(polys):
+                if pl:
+                    pts = [np.asarray(pp, np.float64).reshape(-1, 2).astype(np.int32)
+                           for pp in pl if len(pp) >= 6]
+                    if pts:
+                        cv2.fillPoly(masks[i], pts, 1)
+                        continue
+                # fallback: box-filled mask
+                x1, y1, x2, y2 = results["gt_bboxes"][i].astype(int)
+                masks[i, max(y1, 0):y2, max(x1, 0):x2] = 1
+            results["gt_masks"] = masks
         return results
 
 
@@ -112,6 +130,10 @@ class Resize:
             b[:, 0::2] = b[:, 0::2].clip(0, new_w)
             b[:, 1::2] = b[:, 1::2].clip(0, new_h)
             results["gt_bboxes"] = b
+        if "gt_masks" in results and len(results["gt_masks"]):
+            results["gt_masks"] = np.stack([
+                cv2.resize(m, (new_w, new_h), interpolation=cv2.INTER_NEAREST)
+                for m in results["gt_masks"]])
         return results
 
 
@@ -149,6 +171,9 @@ class RandomFlip:
                 b[:, 0], b[:, 2] = w - results["gt_bboxes"][:, 2], \
                     w - results["gt_bboxes"][:, 0]
                 results["gt_bboxes"] = b
+            if "gt_masks" in results and len(results["gt_masks"]):
+                results["gt_masks"] = np.ascontiguousarray(
+                    results["gt_masks"][:, :, ::-1])
             results["flip"] = True
         else:
             results["flip"] = False
@@ -180,6 +205,9 @@ class Pad:
         pw = -w % self.size_divisor
         if ph or pw:
             img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+            if "gt_masks" in results and len(results["gt_masks"]):
+                results["gt_masks"] = np.pad(
+                    results["gt_masks"], ((0, 0), (0, ph), (0, pw)))
         results["img"] = img
         results["pad_shape"] = img.shape
         return results

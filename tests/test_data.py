@@ -217,3 +217,36 @@ class TestCropAndAutoAugment:
             out = aug(synth_results(64, 128))
             hs.add(out["img"].shape[0])
         assert len(hs) >= 2  # both policies exercised
+
+
+class TestMaskPipeline:
+    def test_masks_through_pipeline_and_loader(self, coco_dir, tmp_path):
+        import json as _json
+        import cv2
+        from panoswintransformerobjectdetection_tpu.data import (
+            LoadImageFromFile, LoadAnnotations, Resize, RandomFlip, Pad)
+        ann_file, img_dir = coco_dir
+        # add polygon segmentations to the fixture
+        data = _json.load(open(ann_file))
+        for a in data["annotations"]:
+            x, y, w, h = a["bbox"]
+            a["segmentation"] = [[x, y, x + w, y, x + w, y + h, x, y + h]]
+        ann2 = tmp_path / "ann_mask.json"
+        ann2.write_text(_json.dumps(data))
+        ds = StreetDataset(str(ann2), img_prefix=img_dir, pipeline=[
+            LoadImageFromFile(), LoadAnnotations(with_mask=True),
+            Resize(img_scale=(48, 96)), RandomFlip(flip_ratio=1.0), Pad(32)])
+        s = ds[0]
+        assert "gt_masks" in s
+        assert s["gt_masks"].shape[0] == len(s["gt_bboxes"])
+        assert s["gt_masks"].shape[1:] == s["img"].shape[:2]
+        # mask lies (mostly) inside its (flipped/resized) box
+        for m, b in zip(s["gt_masks"], s["gt_bboxes"]):
+            ys, xs = np.nonzero(m)
+            if len(xs):
+                assert xs.min() >= b[0] - 2 and xs.max() <= b[2] + 2
+        loader = DetDataLoader(ds, batch_size=2, max_gt=8)
+        batch = next(iter(loader))
+        assert "gt_masks" in batch
+        assert batch["gt_masks"].shape[:2] == (2, 8)
+        assert batch["gt_masks"].any()
