@@ -9,6 +9,7 @@ from . import rpn_head  # noqa: F401
 from . import roi_head  # noqa: F401
 from . import mask_head  # noqa: F401
 from . import resnet  # noqa: F401
+from . import backbones_extra  # noqa: F401
 from . import detectors  # noqa: F401
 from . import cascade  # noqa: F401
 from . import classifier  # noqa: F401

@@ -1,0 +1,161 @@
+"""Additional model-zoo backbones: RegNet, Res2Net
+(`mmdet/models/backbones/regnet.py`, `res2net.py`).
+
+RegNetX: per-stage (width, depth, groups) from the standard presets;
+bottleneck ratio 1, group convs, stride-2 first block per stage.
+Res2Net: ResNet bottlenecks whose 3x3 is replaced by `scales` hierarchical
+sub-convs over channel splits.
+"""
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .registry import BACKBONES
+from .resnet import _bn
+
+REGNET_ARCH: Dict[str, dict] = {
+    # widths/depths/groups per stage (RegNetX presets as used by mmdet)
+    "regnetx_400mf": {"widths": (32, 64, 160, 384), "depths": (1, 2, 7, 12),
+                      "groups": 16},
+    "regnetx_800mf": {"widths": (64, 128, 288, 672), "depths": (1, 3, 7, 5),
+                      "groups": 16},
+    "regnetx_1.6gf": {"widths": (72, 168, 408, 912), "depths": (2, 4, 10, 2),
+                      "groups": 24},
+    "regnetx_3.2gf": {"widths": (96, 192, 432, 1008), "depths": (2, 6, 15, 2),
+                      "groups": 48},
+    "regnetx_4.0gf": {"widths": (80, 240, 560, 1360), "depths": (2, 5, 14, 2),
+                      "groups": 40},
+    "regnetx_8.0gf": {"widths": (80, 240, 720, 1920), "depths": (2, 5, 15, 1),
+                      "groups": 120},
+    "regnetx_12gf": {"widths": (224, 448, 896, 2240), "depths": (2, 5, 11, 1),
+                     "groups": 112},
+}
+
+
+class RegBlock(nn.Module):
+    width: int
+    stride: int = 1
+    groups: int = 16
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        identity = x
+        # group width must divide stage width; presets guarantee it
+        y = nn.Conv(self.width, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.relu(_bn("bn1", train)(y))
+        y = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, feature_group_count=self.width // self.groups
+                    if self.width % self.groups == 0 else 1,
+                    use_bias=False, name="conv2")(y)
+        y = nn.relu(_bn("bn2", train)(y))
+        y = nn.Conv(self.width, (1, 1), use_bias=False, name="conv3")(y)
+        y = _bn("bn3", train)(y)
+        if self.downsample:
+            identity = nn.Conv(self.width, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name="downsample_conv")(x)
+            identity = _bn("downsample_bn", train)(identity)
+        return nn.relu(y + identity)
+
+
+@BACKBONES.register
+class RegNet(nn.Module):
+    arch: str = "regnetx_3.2gf"
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    norm_eval: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        cfg = REGNET_ARCH[self.arch]
+        bn_train = train and not self.norm_eval
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                    name="conv1")(x)
+        x = nn.relu(_bn("bn1", bn_train)(x))
+        outs = []
+        for i, (w, d) in enumerate(zip(cfg["widths"], cfg["depths"])):
+            for j in range(d):
+                x = RegBlock(width=w, stride=2 if j == 0 else 1,
+                             groups=cfg["groups"], downsample=j == 0,
+                             name=f"layer{i + 1}_{j}")(x, train=bn_train)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)
+
+
+class Res2Block(nn.Module):
+    planes: int
+    stride: int = 1
+    scales: int = 4
+    base_width: int = 26
+    downsample: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        identity = x
+        width = int(self.planes * (self.base_width / 64.0)) * self.scales
+        y = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.relu(_bn("bn1", train)(y))
+        sw = width // self.scales
+        splits = [y[..., i * sw:(i + 1) * sw] for i in range(self.scales)]
+        outs = []
+        prev = None
+        for i in range(self.scales):
+            if i == 0:
+                outs.append(splits[0] if self.stride == 1 else
+                            nn.avg_pool(splits[0], (3, 3),
+                                        strides=(self.stride, self.stride),
+                                        padding=((1, 1), (1, 1))))
+                continue
+            inp = splits[i] if (prev is None or self.stride != 1) \
+                else splits[i] + prev
+            o = nn.Conv(sw, (3, 3), strides=(self.stride, self.stride),
+                        padding=1, use_bias=False, name=f"conv2_{i}")(inp)
+            o = nn.relu(_bn(f"bn2_{i}", train)(o))
+            outs.append(o)
+            prev = o
+        y = jnp.concatenate(outs, -1)
+        y = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                    name="conv3")(y)
+        y = _bn("bn3", train)(y)
+        if self.downsample:
+            identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name="downsample_conv")(x)
+            identity = _bn("downsample_bn", train)(identity)
+        return nn.relu(y + identity)
+
+
+@BACKBONES.register
+class Res2Net(nn.Module):
+    depth: int = 50
+    scales: int = 4
+    base_width: int = 26
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    norm_eval: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        depths = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[self.depth]
+        bn_train = train and not self.norm_eval
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    name="conv1")(x)
+        x = nn.relu(_bn("bn1", bn_train)(x))
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        outs = []
+        for i, d in enumerate(depths):
+            planes = 64 * 2 ** i
+            for j in range(d):
+                x = Res2Block(planes=planes, stride=2 if (j == 0 and i > 0) else 1,
+                              scales=self.scales, base_width=self.base_width,
+                              downsample=j == 0,
+                              name=f"layer{i + 1}_{j}")(x, train=bn_train)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)
