@@ -12,6 +12,10 @@ Semantics of mmdet `MaxIoUAssigner.assign_wrt_overlaps`
 
 from typing import Tuple
 
+import jax
+
+from .bbox import bbox_overlaps
+
 import jax.numpy as jnp
 
 
@@ -45,3 +49,47 @@ def max_iou_assign(ious: jnp.ndarray, gt_valid: jnp.ndarray,
         assigned = jnp.where(lowq > 0, lowq, assigned)
 
     return assigned, max_overlaps
+
+
+def atss_assign(anchors: jnp.ndarray, level_slices, gts: jnp.ndarray,
+                gvalid: jnp.ndarray, topk: int = 9):
+    """ATSS assignment (`mmdet/core/bbox/assigners/atss_assigner.py`).
+
+    anchors: (N, 4) all levels; level_slices: static list of (start, size);
+    gts: (G, 4).  Per gt: top-`topk` center-closest anchors per level are
+    candidates; IoU threshold = mean + std of candidate IoUs; positive if
+    IoU >= thr and anchor center inside the gt.  Anchors claimed by several
+    gts go to the highest-IoU one.  Returns assigned (N,) (-1/0/g+1).
+    """
+    N = anchors.shape[0]
+    G = gts.shape[0]
+    ac = jnp.stack([(anchors[:, 0] + anchors[:, 2]) / 2,
+                    (anchors[:, 1] + anchors[:, 3]) / 2], -1)   # (N, 2)
+    gc = jnp.stack([(gts[:, 0] + gts[:, 2]) / 2,
+                    (gts[:, 1] + gts[:, 3]) / 2], -1)           # (G, 2)
+    dist = jnp.linalg.norm(ac[None, :, :] - gc[:, None, :], axis=-1)  # (G, N)
+    ious = bbox_overlaps(gts, anchors)                          # (G, N)
+
+    cand = jnp.zeros((G, N), bool)
+    for (start, size) in level_slices:
+        k = min(topk, size)
+        _, idx = jax.lax.top_k(-dist[:, start:start + size], k)
+        rows = jnp.arange(G)[:, None].repeat(k, 1)
+        cand = cand.at[rows.reshape(-1),
+                       (idx + start).reshape(-1)].set(True)
+
+    cious = jnp.where(cand, ious, jnp.nan)
+    mean = jnp.nanmean(cious, axis=1, keepdims=True)
+    std = jnp.sqrt(jnp.nanmean((cious - mean) ** 2, axis=1, keepdims=True))
+    thr = mean + std
+
+    inside = ((ac[None, :, 0] > gts[:, None, 0]) &
+              (ac[None, :, 0] < gts[:, None, 2]) &
+              (ac[None, :, 1] > gts[:, None, 1]) &
+              (ac[None, :, 1] < gts[:, None, 3]))
+    pos = cand & (ious >= thr) & inside & gvalid[:, None]
+
+    masked = jnp.where(pos, ious, -1.0)
+    best_gt = masked.argmax(0)
+    has = masked.max(0) > 0
+    return jnp.where(has, best_gt.astype(jnp.int32) + 1, 0)
