@@ -20,5 +20,6 @@ from . import yolo  # noqa: F401
 from . import ssd  # noqa: F401
 from . import atss  # noqa: F401
 from . import htc  # noqa: F401
+from . import hrnet  # noqa: F401
 
 __all__ = ["BACKBONES", "NECKS", "HEADS", "DETECTORS", "LOSSES", "build", "register"]
