@@ -21,5 +21,6 @@ from . import ssd  # noqa: F401
 from . import atss  # noqa: F401
 from . import htc  # noqa: F401
 from . import hrnet  # noqa: F401
+from . import hourglass  # noqa: F401
 
 __all__ = ["BACKBONES", "NECKS", "HEADS", "DETECTORS", "LOSSES", "build", "register"]
