@@ -83,7 +83,9 @@ def _average_precision(tp, scores, num_gt) -> float:
 
 def eval_map_coco(detections: List[dict], gts: List[dict], num_classes: int,
                   iou_thrs: Optional[Sequence[float]] = None,
-                  max_dets: int = 100) -> Dict[str, float]:
+                  max_dets: int = 100,
+                  classwise: bool = False,
+                  class_names: Optional[Sequence[str]] = None) -> Dict[str, float]:
     """COCO-style mAP.
 
     detections[i]: dict(boxes (K, 4), scores (K,), labels (K,)) — padded
@@ -131,7 +133,14 @@ def eval_map_coco(detections: List[dict], gts: List[dict], num_classes: int,
     mAP50 = float(np.nanmean(aps[0])) if valid[0].any() else 0.0
     i75 = int(round((0.75 - 0.5) / 0.05))
     mAP75 = float(np.nanmean(aps[i75])) if valid[i75].any() else 0.0
-    return {"bbox_mAP": mAP, "bbox_mAP_50": mAP50, "bbox_mAP_75": mAP75}
+    out = {"bbox_mAP": mAP, "bbox_mAP_50": mAP50, "bbox_mAP_75": mAP75}
+    if classwise:  # per-category AP table (mmdet classwise=True)
+        for c in range(num_classes):
+            name = class_names[c] if class_names else f"class_{c}"
+            col = aps[:, c]
+            out[f"AP_{name}"] = float(np.nanmean(col)) \
+                if (~np.isnan(col)).any() else float("nan")
+    return out
 
 
 def eval_map_voc(detections: List[dict], gts: List[dict], num_classes: int,

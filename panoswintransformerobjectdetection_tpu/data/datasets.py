@@ -118,12 +118,14 @@ class CocoStyleDataset:
 
     __getitem__ = get_sample
 
-    def evaluate(self, detections: List[dict], iou_thrs=None) -> Dict[str, float]:
+    def evaluate(self, detections: List[dict], iou_thrs=None,
+                 classwise: bool = False) -> Dict[str, float]:
         """detections: per image dict(boxes (K,4), scores (K,), labels (K,))
         in original image coordinates."""
         gts = [{"bboxes": r["bboxes"], "labels": r["labels"]} for r in self.records]
         return eval_map_coco(detections, gts, num_classes=len(self.CLASSES),
-                             iou_thrs=iou_thrs)
+                             iou_thrs=iou_thrs, classwise=classwise,
+                             class_names=self.CLASSES)
 
 
 class CocoDataset(CocoStyleDataset):
