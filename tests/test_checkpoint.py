@@ -113,3 +113,87 @@ class TestBNFolding:
         fp, fbs = fold_batchnorm(v["params"], bs)
         out = m.apply({"params": fp, "batch_stats": fbs}, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+class TestDetectorConverterTree:
+    def test_converted_tree_matches_init(self, rng):
+        """convert_detector output must slot into our detector's params
+        (same keys, same shapes) — guards against naming drift."""
+        import jax
+        import torch
+        import torch.nn as nn
+        from panoswintransformerobjectdetection_tpu.models import DETECTORS, build
+        from panoswintransformerobjectdetection_tpu.runtime.checkpoint import (
+            convert_detector)
+
+        if REF is None:
+            pytest.skip("reference unavailable")
+
+        depths = (2, 2)
+        torch.manual_seed(0)
+        bb = REF.SimplePanoSwinTransformer(
+            patch_size=4, in_chans=3, embed_dim=6, depths=list(depths),
+            num_heads=[1, 2], window_size=4, ape=True, pano_mode=True,
+            out_indices=(0, 1), drop_path_rate=0.0)
+
+        # synthesize the head parts of a torch Faster R-CNN state_dict
+        sd = {f"backbone.{k}": v for k, v in bb.state_dict().items()}
+
+        class L(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv = nn.Conv2d(6, 16, 1)
+
+        for i, c in enumerate((6, 12)):
+            lat = nn.Conv2d(c, 16, 1)
+            fpn = nn.Conv2d(16, 16, 3)
+            sd.update({f"neck.lateral_convs.{i}.conv.{k}": v
+                       for k, v in lat.state_dict().items()})
+            sd.update({f"neck.fpn_convs.{i}.conv.{k}": v
+                       for k, v in fpn.state_dict().items()})
+        sd.update({f"rpn_head.rpn_conv.{k}": v
+                   for k, v in nn.Conv2d(16, 16, 3).state_dict().items()})
+        sd.update({f"rpn_head.rpn_cls.{k}": v
+                   for k, v in nn.Conv2d(16, 3, 1).state_dict().items()})
+        sd.update({f"rpn_head.rpn_reg.{k}": v
+                   for k, v in nn.Conv2d(16, 12, 1).state_dict().items()})
+        sd.update({f"roi_head.bbox_head.shared_fcs.0.{k}": v
+                   for k, v in nn.Linear(16 * 49, 32).state_dict().items()})
+        sd.update({f"roi_head.bbox_head.shared_fcs.1.{k}": v
+                   for k, v in nn.Linear(32, 32).state_dict().items()})
+        sd.update({f"roi_head.bbox_head.fc_cls.{k}": v
+                   for k, v in nn.Linear(32, 3).state_dict().items()})
+        sd.update({f"roi_head.bbox_head.fc_reg.{k}": v
+                   for k, v in nn.Linear(32, 8).state_dict().items()})
+
+        params, stats = convert_detector(sd, depths=depths, window_size=4)
+
+        det = build(DETECTORS, {
+            "type": "PanoFasterRCNN",
+            "backbone": {"type": "PanoSwinTransformer", "embed_dim": 6,
+                         "depths": depths, "num_heads": (1, 2),
+                         "window_size": 4, "ape": True, "out_indices": (0, 1),
+                         "drop_path_rate": 0.0},
+            "neck": {"type": "FPN", "in_channels": (6, 12), "out_channels": 16,
+                     "num_outs": 5},
+            "num_classes": 2, "featmap_strides": (4, 8, 8, 8),
+        })
+        ref_tree = det.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 64, 3), jnp.float32))
+
+        import jax.tree_util as jtu
+        ref_shapes = {jtu.keystr(k): v.shape for k, v in
+                      jtu.tree_flatten_with_path(ref_tree["params"])[0]}
+        got_shapes = {jtu.keystr(k): np.asarray(v).shape for k, v in
+                      jtu.tree_flatten_with_path(params)[0]}
+        # every converted entry must exist in the init tree with same shape
+        # (bbox_head fc dims differ because the synthetic sd used small dims;
+        # check key coverage + backbone/neck/rpn shapes strictly)
+        missing = [k for k in got_shapes if k not in ref_shapes]
+        assert not missing, missing[:5]
+        for k, shp in got_shapes.items():
+            # head channel dims in the synthetic sd are intentionally small;
+            # strict shape equality is checked for backbone + neck
+            if "bbox_head" in k or "rpn_m" in k:
+                continue
+            assert ref_shapes[k] == shp, (k, ref_shapes[k], shp)
