@@ -48,3 +48,24 @@ class TestOptim:
         assert abs(float(f(10)) - 1.0) < 1e-6
         assert abs(float(f(150)) - 0.1) < 1e-6
         assert abs(float(f(250)) - 0.01) < 1e-6
+
+
+class TestSpatialSharding:
+    def test_sharded_roll_matches_global(self):
+        """ppermute halo exchange == global jnp.roll on a W-sharded pano
+        (the pano-shift seam exchange primitive, SURVEY 5.7)."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from panoswintransformerobjectdetection_tpu.parallel import make_mesh
+        from panoswintransformerobjectdetection_tpu.parallel.spatial import (
+            make_sharded_roll)
+
+        mesh = make_mesh()
+        B, H, W, C = 2, 4, 64, 3
+        x = jnp.arange(B * H * W * C, dtype=jnp.float32).reshape(B, H, W, C)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "data", None)))
+        for shift in (1, 3, 8):
+            fn = make_sharded_roll(mesh, shift)
+            out = fn(xs)
+            np.testing.assert_array_equal(
+                np.asarray(out), np.roll(np.asarray(x), shift, axis=2))
