@@ -240,3 +240,20 @@ class TestLosses:
         l_easy = float(losses.sigmoid_focal_loss(logits[:1], labels[:1], 1))
         l_hard = float(losses.sigmoid_focal_loss(logits[1:], labels[1:], 1))
         assert l_easy < l_hard
+
+
+class TestCornerPool:
+    def test_directions(self):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.ops.corner_pool import (
+            corner_pool, tl_pool)
+        x = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 3, 4, 1))
+        top = np.asarray(corner_pool(x, "top"))[0, :, :, 0]
+        # top pooling: every row = max over itself and rows below
+        np.testing.assert_array_equal(top[0], [8, 9, 10, 11])
+        np.testing.assert_array_equal(top[2], [8, 9, 10, 11])
+        left = np.asarray(corner_pool(x, "left"))[0, :, :, 0]
+        np.testing.assert_array_equal(left[0], [3, 3, 3, 3])
+        right = np.asarray(corner_pool(x, "right"))[0, 0, :, 0]
+        np.testing.assert_array_equal(right, [0, 1, 2, 3])
+        assert np.asarray(tl_pool(x)).shape == (1, 3, 4, 1)
