@@ -1,0 +1,80 @@
+"""Deformable convolution v1/v2 (`mmcv.ops.DeformConv2d` /
+`ModulatedDeformConv2d` role) as bilinear gathers.
+
+Each kernel tap samples the input at its regular location plus a learned
+per-position offset (v2 additionally scales by a sigmoid modulation mask);
+the K taps become K batched bilinear resamples (`geometry.resample`) and
+one einsum against the kernel — all fusible XLA, no custom CUDA.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..geometry.resample import grid_sample_nhwc
+
+
+def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, weights: jnp.ndarray,
+                  bias: Optional[jnp.ndarray] = None,
+                  kernel_size: int = 3, dilation: int = 1,
+                  modulation: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x: (B, H, W, C); offsets: (B, H, W, 2K) as (dy, dx) per tap
+    (mmcv channel order); weights: (K, C, Cout); modulation: (B, H, W, K)
+    pre-sigmoid or None.  Stride 1, 'same' padding.  Returns (B, H, W, Cout).
+    """
+    B, H, W, C = x.shape
+    k = kernel_size
+    K = k * k
+    assert offsets.shape[-1] == 2 * K
+
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")          # (H, W)
+
+    taps = []
+    half = (k - 1) // 2
+    for ki in range(K):
+        dy = (ki // k - half) * dilation
+        dx = (ki % k - half) * dilation
+        oy = offsets[..., 2 * ki]
+        ox = offsets[..., 2 * ki + 1]
+        sy = gy[None] + dy + oy                           # (B, H, W)
+        sx = gx[None] + dx + ox
+        # normalize to [-1, 1] (align_corners=False convention)
+        ny = (2 * sy + 1) / H - 1
+        nx = (2 * sx + 1) / W - 1
+        grid = jnp.stack([nx, ny], -1)                    # (B, H, W, 2)
+        taps.append(grid_sample_nhwc(x, grid, padding_mode="zeros",
+                                     align_corners=False))
+    stacked = jnp.stack(taps, axis=3)                     # (B, H, W, K, C)
+    if modulation is not None:
+        stacked = stacked * jax.nn.sigmoid(modulation)[..., None]
+    out = jnp.einsum("bhwkc,kco->bhwo", stacked, weights)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class DCN(nn.Module):
+    """Modulated deformable conv block: internal offset(+mask) conv,
+    zero-initialized so it starts as a regular conv (DCNv2 practice)."""
+    features: int
+    kernel_size: int = 3
+    modulated: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        K = self.kernel_size ** 2
+        off_ch = 2 * K + (K if self.modulated else 0)
+        off = nn.Conv(off_ch, (self.kernel_size, self.kernel_size), padding="SAME",
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros, name="conv_offset")(x)
+        offsets = off[..., :2 * K]
+        mod = off[..., 2 * K:] if self.modulated else None
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (K, x.shape[-1], self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return deform_conv2d(x, offsets, w, b, self.kernel_size,
+                             modulation=mod)

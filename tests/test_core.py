@@ -257,3 +257,50 @@ class TestCornerPool:
         right = np.asarray(corner_pool(x, "right"))[0, 0, :, 0]
         np.testing.assert_array_equal(right, [0, 1, 2, 3])
         assert np.asarray(tl_pool(x)).shape == (1, 3, 4, 1)
+
+
+class TestDeformConv:
+    def test_zero_offsets_match_regular_conv(self, rng):
+        import jax
+        from panoswintransformerobjectdetection_tpu.ops.deform_conv import (
+            deform_conv2d)
+        B, H, W, C, Co = 1, 8, 8, 3, 5
+        x = jnp.asarray(rng.random((B, H, W, C)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(9, C, Co)).astype(np.float32))
+        offsets = jnp.zeros((B, H, W, 18))
+        out = deform_conv2d(x, offsets, w)
+        # regular conv with the same taps (zero padding)
+        wconv = w.reshape(3, 3, C, Co)
+        ref = jax.lax.conv_general_dilated(
+            x, wconv, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_integer_offset_shifts_sampling(self, rng):
+        from panoswintransformerobjectdetection_tpu.ops.deform_conv import (
+            deform_conv2d)
+        B, H, W, C = 1, 6, 6, 1
+        x = jnp.asarray(rng.random((B, H, W, C)).astype(np.float32))
+        # single-tap kernel (1x1), offset (dy=0, dx=1) -> output = x shifted
+        w = jnp.ones((1, 1, 1))
+        offsets = jnp.zeros((B, H, W, 2)).at[..., 1].set(1.0)
+        out = np.asarray(deform_conv2d(x, offsets, w, kernel_size=1))
+        np.testing.assert_allclose(out[0, :, :-1, 0],
+                                   np.asarray(x)[0, :, 1:, 0], atol=1e-5)
+
+    def test_dcn_module_initially_regular(self, rng):
+        import jax
+        from panoswintransformerobjectdetection_tpu.ops.deform_conv import DCN
+        x = jnp.asarray(rng.random((1, 8, 8, 4)).astype(np.float32))
+        m = DCN(features=6)
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        assert out.shape == (1, 8, 8, 6)
+        assert np.isfinite(np.asarray(out)).all()
+        # zero-init offset conv -> modulation sigmoid(0)=0.5, offsets 0:
+        # equals 0.5 * regular conv
+        w = v["params"]["kernel"].reshape(3, 3, 4, 6)
+        ref = 0.5 * (jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + v["params"]["bias"])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
