@@ -159,3 +159,91 @@ class Res2Net(nn.Module):
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)
+
+
+class SplitAttentionConv(nn.Module):
+    """ResNeSt split-attention 3x3 (`resnest.py` SplAtConv2d): radix
+    feature groups reweighted by a softmax over radix computed from the
+    pooled sum."""
+    channels: int
+    radix: int = 2
+    reduction: int = 4
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        r, c = self.radix, self.channels
+        y = nn.Conv(c * r, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, name="conv")(x)
+        y = nn.relu(_bn("bn", train)(y))
+        B, H, W, _ = y.shape
+        y = y.reshape(B, H, W, r, c)
+        gap = y.sum(3).mean(axis=(1, 2))                  # (B, c)
+        inter = max(c * r // self.reduction, 32)
+        a = nn.relu(_bn("fc1_bn", train)(
+            nn.Dense(inter, name="fc1")(gap)))
+        a = nn.Dense(c * r, name="fc2")(a).reshape(B, r, c)
+        a = jax.nn.softmax(a, axis=1)                     # rsoftmax over radix
+        return (y * a[:, None, None, :, :]).sum(3)
+
+
+class ResNeStBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    radix: int = 2
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        identity = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.relu(_bn("bn1", train)(y))
+        y = SplitAttentionConv(self.planes, radix=self.radix,
+                               name="splat")(y, train=train)
+        if self.stride > 1:  # ResNeSt-D: avg-pool downsample after splat
+            y = nn.avg_pool(y, (3, 3), strides=(self.stride, self.stride),
+                            padding=((1, 1), (1, 1)))
+        y = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                    name="conv3")(y)
+        y = _bn("bn3", train)(y)
+        if self.downsample:
+            if self.stride > 1:
+                identity = nn.avg_pool(identity, (self.stride, self.stride),
+                                       strides=(self.stride, self.stride))
+            identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                               use_bias=False, name="downsample_conv")(identity)
+            identity = _bn("downsample_bn", train)(identity)
+        return nn.relu(y + identity)
+
+
+@BACKBONES.register
+class ResNeSt(nn.Module):
+    depth: int = 50
+    radix: int = 2
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    norm_eval: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        depths = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[self.depth]
+        bn_train = train and not self.norm_eval
+        # deep stem (3x 3x3)
+        for i, ch in enumerate((32, 32, 64)):
+            x = nn.Conv(ch, (3, 3), strides=(2, 2) if i == 0 else (1, 1),
+                        padding=1, use_bias=False, name=f"stem{i}")(x)
+            x = nn.relu(_bn(f"stem_bn{i}", bn_train)(x))
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        outs = []
+        for i, d in enumerate(depths):
+            planes = 64 * 2 ** i
+            for j in range(d):
+                x = ResNeStBlock(planes=planes,
+                                 stride=2 if (j == 0 and i > 0) else 1,
+                                 downsample=j == 0, radix=self.radix,
+                                 name=f"layer{i + 1}_{j}")(x, train=bn_train)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

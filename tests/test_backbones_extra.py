@@ -33,3 +33,13 @@ def test_res2net_grad(rng):
                                    x)[0].sum())(v["params"])
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_resnest_shapes(rng):
+    from panoswintransformerobjectdetection_tpu.models.backbones_extra import ResNeSt
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    m = ResNeSt(depth=50)
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+    assert all(np.isfinite(np.asarray(o)).all() for o in outs)
