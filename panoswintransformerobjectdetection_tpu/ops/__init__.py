@@ -1,5 +1,6 @@
 """TPU compute ops: window utilities, fused attention, RoIAlign, NMS."""
 
+from .resample_alias import point_sample  # noqa: F401
 from .windows import (
     window_partition,
     window_reverse,

@@ -304,3 +304,35 @@ class TestDeformConv:
             x, w, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC")) + v["params"]["bias"])
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+class TestCarafeAndPointSample:
+    def test_carafe_uniform_kernels_average(self, rng):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.ops.carafe import carafe
+        x = jnp.asarray(rng.random((1, 4, 4, 2)).astype(np.float32))
+        kernels = jnp.zeros((1, 8, 8, 25))   # softmax(0) = uniform average
+        out = carafe(x, kernels, up=2, k=5)
+        assert out.shape == (1, 8, 8, 2)
+        # uniform kernel = local 5x5 mean of (zero-padded) source
+        assert np.isfinite(np.asarray(out)).all()
+        assert abs(float(out[0, 4, 4, 0]) -
+                   float(np.asarray(x)[0, :, :, 0][0:5, 0:5].mean())) < 0.5
+
+    def test_carafe_pack_shapes(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.ops.carafe import CARAFEPack
+        x = jnp.asarray(rng.random((1, 4, 6, 8)).astype(np.float32))
+        m = CARAFEPack()
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        assert out.shape == (1, 8, 12, 8)
+
+    def test_point_sample_center(self, rng):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.ops import point_sample
+        feats = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1))
+        pts = jnp.asarray([[[0.5, 0.5]]])
+        out = float(point_sample(feats, pts)[0, 0, 0])
+        assert abs(out - np.asarray(feats)[0].mean()) < 1.0
