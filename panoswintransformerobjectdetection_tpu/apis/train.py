@@ -24,7 +24,7 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
                    accumulate_steps: int = 1, max_gt: int = 100,
                    log_interval: int = 50, checkpoint_interval: int = 1,
                    eval_fn: Optional[Callable] = None, seed: int = 0,
-                   resume_from: Optional[str] = None):
+                   resume_from: Optional[str] = None, hooks=None):
     """Returns the final TrainState."""
     import jax
     import jax.numpy as jnp
@@ -64,14 +64,34 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
     step_fn = jit_train_step(make_train_step(det), mesh)
     rng = jax.random.PRNGKey(seed + 1)
 
+    hooks = list(hooks or [])
+    ctx = {"work_dir": work_dir, "epoch": start_epoch, "step": int(state.step)}
+    for h in hooks:
+        h.before_train(ctx)
+
     with mesh:
         for epoch in range(start_epoch, total_epochs):
+            ctx["epoch"] = epoch
+            for h in hooks:
+                h.before_epoch(ctx)
             t0 = time.time()
             for i, batch in enumerate(loader):
-                b = shard_batch(mesh, {k: batch[k] for k in
-                                       ("images", "img_shapes", "gt_boxes",
-                                        "gt_labels", "gt_valid")})
+                keys = ["images", "img_shapes", "gt_boxes", "gt_labels",
+                        "gt_valid"]
+                for opt in ("gt_masks", "pano_ratio_v"):
+                    if opt in batch:
+                        keys.append(opt)
+                b = shard_batch(mesh, {k: batch[k] for k in keys})
                 state, metrics = step_fn(state, b, rng)
+                ctx["step"] = int(state.step)
+                if hooks:
+                    host_metrics = {k: float(v) for k, v in
+                                    jax.device_get(metrics).items()}
+                    ctx["metrics"] = host_metrics
+                    for h in hooks:
+                        h.after_iter(ctx)
+                    for line in ctx.pop("logs", []):
+                        logger.info(line)
                 if (i + 1) % log_interval == 0:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     m.update(epoch=epoch + 1, iter=i + 1,
@@ -95,4 +115,8 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
                 logger.info("Eval epoch %d: %s", epoch + 1, metrics)
                 json_log.write(json.dumps({"epoch": epoch + 1, **metrics}) + "\n")
                 json_log.flush()
+            for h in hooks:
+                h.after_epoch(ctx)
+    for h in hooks:
+        h.after_train(ctx)
     return state

@@ -185,3 +185,37 @@ class TestMultiHostEval:
         assert len(a) == len(b) == len(ds)
         for x, y in zip(a, b):
             np.testing.assert_allclose(x["boxes"], y["boxes"], atol=1e-5)
+
+
+class TestHooks:
+    def test_hooks_called(self, tiny_cfg_and_data, tmp_path):
+        from panoswintransformerobjectdetection_tpu.runtime.hooks import Hook
+        from panoswintransformerobjectdetection_tpu.apis.train import train_detector
+        from panoswintransformerobjectdetection_tpu.data import (
+            StreetDataset, LoadImageFromFile, LoadAnnotations, Normalize, Pad)
+        from tests.test_detector import tiny_detector
+
+        calls = []
+
+        class Spy(Hook):
+            def before_train(self, ctx):
+                calls.append("before_train")
+
+            def after_iter(self, ctx):
+                calls.append(("iter", ctx["step"], "loss" in ctx["metrics"]))
+
+            def after_epoch(self, ctx):
+                calls.append("after_epoch")
+
+        ann_file, img_dir = tiny_cfg_and_data
+        det = tiny_detector()
+        ds = StreetDataset(ann_file, img_prefix=img_dir, pipeline=[
+            LoadImageFromFile(), LoadAnnotations(),
+            Normalize([0, 0, 0], [255, 255, 255]), Pad(32)])
+        train_detector(det, ds, work_dir=str(tmp_path / "wd"), total_epochs=1,
+                       batch_size=2, max_gt=8, log_interval=10,
+                       checkpoint_interval=10, hooks=[Spy()])
+        assert calls[0] == "before_train"
+        assert calls[-1] == "after_epoch"
+        iters = [c for c in calls if isinstance(c, tuple)]
+        assert len(iters) == 2 and all(c[2] for c in iters)
