@@ -247,3 +247,85 @@ class ResNeSt(nn.Module):
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)
+
+
+class TridentBlock(nn.Module):
+    """Trident bottleneck (`trident_resnet.py`): the 3x3 conv kernel is
+    SHARED across `num_branches` parallel paths that differ only by
+    dilation (scale-aware branches); branch outputs stay parallel."""
+    planes: int
+    dilations: Sequence[int] = (1, 2, 3)
+    downsample: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, xs, train=False):
+        # xs: list of branch tensors (same shape)
+        conv1 = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")
+        k3 = self.param("conv2_kernel", nn.initializers.he_normal(),
+                        (3, 3, self.planes, self.planes))
+        conv3 = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                        name="conv3")
+        ds = None
+        if self.downsample:
+            ds = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                         name="downsample_conv")
+        outs = []
+        for bi, (x, d) in enumerate(zip(xs, self.dilations)):
+            y = nn.relu(_bn(f"bn1_{bi}", train)(conv1(x)))
+            y = jax.lax.conv_general_dilated(
+                y, k3, (1, 1), [(d, d), (d, d)], rhs_dilation=(d, d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = nn.relu(_bn(f"bn2_{bi}", train)(y))
+            y = _bn(f"bn3_{bi}", train)(conv3(y))
+            idn = x
+            if ds is not None:
+                idn = _bn(f"downsample_bn_{bi}", train)(ds(x))
+            outs.append(nn.relu(y + idn))
+        return outs
+
+
+@BACKBONES.register
+class TridentResNet(nn.Module):
+    """ResNet-50 whose res4 stage is tridented; test path keeps the middle
+    branch (the 'fast' TridentNet approximation)."""
+    depth: int = 50
+    num_trident_blocks: int = 3
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    norm_eval: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        from .resnet import Bottleneck
+        depths = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[self.depth]
+        bn_train = train and not self.norm_eval
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    name="conv1")(x)
+        x = nn.relu(_bn("bn1", bn_train)(x))
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        outs = []
+        for i, d in enumerate(depths):
+            planes = 64 * 2 ** i
+            if i == 2:  # tridented stage
+                xs = [x, x, x]
+                for j in range(d):
+                    if j == 0:
+                        # stride-2 entry handled per-branch by a plain block
+                        xs = [Bottleneck(planes=planes, stride=2,
+                                         downsample=True,
+                                         name=f"layer3_entry")(x, train=bn_train)] * 3
+                    else:
+                        xs = TridentBlock(planes=planes,
+                                          name=f"layer3_{j}")(xs, train=bn_train)
+                x = xs[1]   # middle branch feeds onward (fast inference)
+            else:
+                for j in range(d):
+                    stride = 2 if (j == 0 and i > 0) else 1
+                    x = Bottleneck(planes=planes, stride=stride,
+                                   downsample=j == 0,
+                                   name=f"layer{i + 1}_{j}")(x, train=bn_train)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

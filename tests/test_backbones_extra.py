@@ -43,3 +43,15 @@ def test_resnest_shapes(rng):
     outs = m.apply(v, x)
     assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
     assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+
+
+def test_trident_resnet(rng):
+    from panoswintransformerobjectdetection_tpu.models.backbones_extra import (
+        TridentResNet)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    m = TridentResNet(depth=50)
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+    # shared trident kernel exists once
+    assert "conv2_kernel" in v["params"]["layer3_1"]
