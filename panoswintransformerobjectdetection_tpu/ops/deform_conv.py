@@ -78,3 +78,33 @@ class DCN(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         return deform_conv2d(x, offsets, w, b, self.kernel_size,
                              modulation=mod)
+
+
+class SAC(nn.Module):
+    """Switchable Atrous Convolution (DetectoRS `detectors_resnet.py` SAC):
+    the same kernel evaluated at dilation 1 and 3, blended per-position by a
+    learned switch; the dilated path adds a small delta kernel."""
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        C = x.shape[-1]
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (k, k, C, self.features))
+        dw = self.param("delta_kernel", nn.initializers.zeros,
+                        (k, k, C, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        switch = nn.Conv(1, (1, 1), bias_init=nn.initializers.zeros,
+                         name="switch")(
+            jnp.mean(x, axis=(1, 2), keepdims=True))
+        s = jax.nn.sigmoid(switch)
+        dn = ("NHWC", "HWIO", "NHWC")
+        y1 = jax.lax.conv_general_dilated(x, w, (1, 1), "SAME",
+                                          dimension_numbers=dn)
+        y3 = jax.lax.conv_general_dilated(x, w + dw, (1, 1),
+                                          [(3, 3), (3, 3)],
+                                          rhs_dilation=(3, 3),
+                                          dimension_numbers=dn)
+        return s * y1 + (1 - s) * y3 + b

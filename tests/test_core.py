@@ -336,3 +336,24 @@ class TestCarafeAndPointSample:
         pts = jnp.asarray([[[0.5, 0.5]]])
         out = float(point_sample(feats, pts)[0, 0, 0])
         assert abs(out - np.asarray(feats)[0].mean()) < 1.0
+
+
+class TestSAC:
+    def test_initially_matches_single_conv_blend(self, rng):
+        import jax
+        from panoswintransformerobjectdetection_tpu.ops.deform_conv import SAC
+        x = jnp.asarray(rng.random((1, 12, 12, 4)).astype(np.float32))
+        m = SAC(features=6)
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        assert out.shape == (1, 12, 12, 6)
+        # delta zero-init + switch 0.5: out = 0.5*(conv_d1 + conv_d3)
+        w = v["params"]["kernel"]
+        dn = ("NHWC", "HWIO", "NHWC")
+        y1 = jax.lax.conv_general_dilated(x, w, (1, 1), "SAME",
+                                          dimension_numbers=dn)
+        y3 = jax.lax.conv_general_dilated(x, w, (1, 1), [(3, 3), (3, 3)],
+                                          rhs_dilation=(3, 3),
+                                          dimension_numbers=dn)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(0.5 * (y1 + y3)), atol=1e-4)
