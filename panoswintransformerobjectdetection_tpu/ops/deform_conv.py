@@ -96,8 +96,8 @@ class SAC(nn.Module):
         dw = self.param("delta_kernel", nn.initializers.zeros,
                         (k, k, C, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        switch = nn.Conv(1, (1, 1), bias_init=nn.initializers.zeros,
-                         name="switch")(
+        switch = nn.Conv(1, (1, 1), kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros, name="switch")(
             jnp.mean(x, axis=(1, 2), keepdims=True))
         s = jax.nn.sigmoid(switch)
         dn = ("NHWC", "HWIO", "NHWC")
