@@ -9,6 +9,7 @@ Nearest upsampling uses floor-index gather to match
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -108,3 +109,82 @@ class PAFPN(FPN):
             for _ in range(self.num_outs - len(outs)):
                 outs.append(max_pool_s2(outs[-1]))
         return tuple(outs)
+
+
+def _resize_to(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Merge-cell input resize (`mmcv.ops.merge_cells.BaseMergeCell._resize`):
+    nearest upsample when the target is larger, strided max-pool when smaller.
+    """
+    if x.shape[1] == h and x.shape[2] == w:
+        return x
+    if x.shape[1] < h:
+        return nearest_upsample(x, h, w)
+    kh, kw = x.shape[1] // h, x.shape[2] // w
+    return nn.max_pool(x, (kh, kw), strides=(kh, kw))
+
+
+class _MergeOut(nn.Module):
+    """Merge-cell output conv: act -> 3x3 conv (mmcv out_conv_order)."""
+    out_channels: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (3, 3), padding=1,
+                       dtype=self.dtype)(nn.relu(x))
+
+
+def _gp_merge(x1, x2):
+    """GlobalPoolingCell binary op: x2 + sigmoid(GAP(x2)) * x1."""
+    att = jax.nn.sigmoid(jnp.mean(x2, axis=(1, 2), keepdims=True))
+    return x2 + att * x1
+
+
+@NECKS.register
+class NASFPN(nn.Module):
+    """NAS-FPN (`mmdet/models/necks/nas_fpn.py:9`): laterals + pooled extras
+    to 5 levels, then `stack_times` copies of the discovered merging-cell
+    topology (gp_64_4 / sum_44_4 / ... / gp_75_6)."""
+    in_channels: Sequence[int] = (96, 192, 384, 768)
+    out_channels: int = 256
+    num_outs: int = 5
+    stack_times: int = 7
+    start_level: int = 0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, feats):
+        dt = resolve_dtype(self.dtype)
+        used = feats[self.start_level:]
+        if dt is not None:
+            used = [f.astype(dt) for f in used]
+        levels = [
+            nn.Conv(self.out_channels, (1, 1), dtype=dt, name=f"lateral_{i}")(f)
+            for i, f in enumerate(used)
+        ]
+        for i in range(self.num_outs - len(levels)):
+            x = nn.Conv(self.out_channels, (1, 1), dtype=dt,
+                        name=f"extra_{i}")(levels[-1])
+            levels.append(nn.max_pool(x, (2, 2), strides=(2, 2)))
+        p3, p4, p5, p6, p7 = levels
+
+        def size(p):
+            return p.shape[1], p.shape[2]
+
+        for s in range(self.stack_times):
+            def out(x, name):
+                return _MergeOut(self.out_channels, dtype=dt,
+                                 name=f"stage{s}_{name}")(x)
+            p4_1 = out(_gp_merge(_resize_to(p6, *size(p4)), p4), "gp_64_4")
+            p4_2 = out(p4_1 + p4, "sum_44_4")
+            p3 = out(_resize_to(p4_2, *size(p3)) + p3, "sum_43_3")
+            p4 = out(_resize_to(p3, *size(p4)) + p4_2, "sum_34_4")
+            p5_tmp = _gp_merge(_resize_to(p4, *size(p5)),
+                               _resize_to(p3, *size(p5)))
+            p5 = out(p5 + p5_tmp, "sum_55_5")
+            p7_tmp = _gp_merge(_resize_to(p5, *size(p7)),
+                               _resize_to(p4_2, *size(p7)))
+            p7 = out(p7 + p7_tmp, "sum_77_7")
+            p6 = out(_gp_merge(_resize_to(p7, *size(p6)),
+                               _resize_to(p5, *size(p6))), "gp_75_6")
+        return (p3, p4, p5, p6, p7)

@@ -137,3 +137,20 @@ class TestFPN:
                             mode="nearest").numpy()
         ours = nearest_upsample(jnp.asarray(x), 6, 10)
         np.testing.assert_allclose(np.moveaxis(np.asarray(ours), -1, 1), ref)
+
+
+class TestNASFPN:
+    def test_shapes_and_stack(self, rng):
+        import jax
+        from panoswintransformerobjectdetection_tpu.models.fpn import NASFPN
+        neck = NASFPN(in_channels=(8, 16, 32), out_channels=12, num_outs=5,
+                      stack_times=2)
+        feats = tuple(
+            jnp.asarray(rng.random((2, 32 // s, 64 // s, c)).astype(np.float32))
+            for s, c in [(1, 8), (2, 16), (4, 32)])
+        v = neck.init(jax.random.PRNGKey(0), feats)
+        outs = neck.apply(v, feats)
+        assert len(outs) == 5
+        for i, o in enumerate(outs):
+            assert o.shape == (2, 32 // 2 ** i, 64 // 2 ** i, 12)
+        assert all(np.isfinite(np.asarray(o)).all() for o in outs)
