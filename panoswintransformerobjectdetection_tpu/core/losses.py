@@ -121,3 +121,69 @@ def balanced_l1_loss(pred, target, beta=1.0, alpha=0.5, gamma=1.5,
         alpha / b * (b * diff + 1) * jnp.log1p(b * diff / beta) - alpha * diff,
         gamma * diff + gamma / b - alpha * beta)
     return _reduce(loss, weight, avg_factor)
+
+
+def _bce_logits(logits, targets):
+    return (jnp.maximum(logits, 0) - logits * targets
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def quality_focal_loss(logits, labels, scores, num_classes, beta=2.0,
+                       weight=None, avg_factor=None):
+    """QFL (`mmdet/models/losses/gfocal_loss.py:11`): classification and
+    box-quality joint supervision.  Negatives trained toward 0 with
+    sigmoid^beta modulation; each positive's own class trained toward its
+    quality `score` with |score - p|^beta modulation.  Fixed-shape: positive
+    rows are selected with a one-hot mask instead of `nonzero` indexing.
+
+    logits (..., C); labels int (...,) in [0, C] (C = background);
+    scores float (...,).
+    """
+    p = jax.nn.sigmoid(logits)
+    loss = _bce_logits(logits, jnp.zeros_like(logits)) * p ** beta
+    pos = (labels < num_classes)
+    onehot = jax.nn.one_hot(jnp.where(pos, labels, 0), num_classes,
+                            dtype=logits.dtype) * pos[..., None]
+    sf = jnp.abs(scores[..., None] - p)
+    pos_loss = _bce_logits(logits, scores[..., None]) * sf ** beta
+    loss = jnp.where(onehot > 0, pos_loss, loss).sum(-1)
+    return _reduce(loss, weight, avg_factor)
+
+
+def distribution_focal_loss(logits, target, weight=None, avg_factor=None):
+    """DFL (`gfocal_loss.py:56`): general-distribution box regression.
+    logits (..., n+1) pre-softmax over the integral set {0..n}; target float
+    distances in [0, n].  CE toward the two enclosing integers, linearly
+    weighted.
+    """
+    n = logits.shape[-1] - 1
+    left = jnp.clip(jnp.floor(target), 0, n - 1).astype(jnp.int32)
+    right = left + 1
+    wl = right.astype(logits.dtype) - target
+    wr = target - left.astype(logits.dtype)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll_l = -jnp.take_along_axis(logp, left[..., None], axis=-1)[..., 0]
+    nll_r = -jnp.take_along_axis(logp, right[..., None], axis=-1)[..., 0]
+    return _reduce(nll_l * wl + nll_r * wr, weight, avg_factor)
+
+
+def varifocal_loss(logits, targets, alpha=0.75, gamma=2.0, iou_weighted=True,
+                   weight=None, avg_factor=None):
+    """Varifocal loss (`varifocal_loss.py:10`): IoU-aware classification.
+    targets float (..., C) — the IoU score on the gt class, 0 elsewhere."""
+    p = jax.nn.sigmoid(logits)
+    pos = (targets > 0.0).astype(logits.dtype)
+    neg_w = alpha * jnp.abs(p - targets) ** gamma * (1.0 - pos)
+    focal = (targets * pos if iou_weighted else pos) + neg_w
+    return _reduce(_bce_logits(logits, targets) * focal, weight, avg_factor)
+
+
+def gaussian_focal_loss(pred, gaussian_target, alpha=2.0, gamma=4.0,
+                        weight=None, avg_factor=None, eps=1e-12):
+    """CornerNet-style focal loss over gaussian heatmaps
+    (`gaussian_focal_loss.py:10`).  pred is post-sigmoid."""
+    pos_w = (gaussian_target == 1).astype(pred.dtype)
+    neg_w = (1 - gaussian_target) ** gamma
+    pos = -jnp.log(pred + eps) * (1 - pred) ** alpha * pos_w
+    neg = -jnp.log(1 - pred + eps) * pred ** alpha * neg_w
+    return _reduce(pos + neg, weight, avg_factor)

@@ -1,5 +1,6 @@
 """Extra loss coverage: GHM-C, IoU loss, balanced L1, box conversions."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -36,3 +37,54 @@ def test_box_conversions_roundtrip(rng):
     n = normalize01_xyxy(xyxy, 100, 50)
     np.testing.assert_allclose(
         np.asarray(unnormalize01_xyxy(n, 100, 50)), np.asarray(xyxy), atol=1e-5)
+
+
+class TestGFLLosses:
+    def test_qfl_matches_torch_semantics(self, rng):
+        import torch
+        import torch.nn.functional as F
+        from panoswintransformerobjectdetection_tpu.core.losses import (
+            quality_focal_loss)
+        N, C = 12, 5
+        logits = rng.standard_normal((N, C)).astype(np.float32)
+        labels = rng.integers(0, C + 1, N).astype(np.int32)   # C = bg
+        scores = rng.random(N).astype(np.float32)
+        ours = float(quality_focal_loss(jnp.asarray(logits),
+                                        jnp.asarray(labels),
+                                        jnp.asarray(scores), C,
+                                        avg_factor=N))
+        # reference formula (gfocal_loss.py:11) reimplemented in torch
+        tp = torch.tensor(logits)
+        sig = tp.sigmoid()
+        loss = F.binary_cross_entropy_with_logits(
+            tp, torch.zeros_like(tp), reduction="none") * sig.pow(2.0)
+        pos = np.nonzero(labels < C)[0]
+        for i in pos:
+            c = labels[i]
+            sf = abs(scores[i] - sig[i, c].item())
+            loss[i, c] = F.binary_cross_entropy_with_logits(
+                tp[i, c], torch.tensor(scores[i]),
+                reduction="none") * sf ** 2.0
+        want = loss.sum(1).sum().item() / N
+        assert abs(ours - want) < 1e-4
+
+    def test_dfl_zero_at_integer_peak(self):
+        from panoswintransformerobjectdetection_tpu.core.losses import (
+            distribution_focal_loss)
+        # target exactly 3 with a near-delta distribution at 3 -> tiny loss
+        logits = jnp.full((1, 8), -20.0).at[0, 3].set(20.0)
+        small = float(distribution_focal_loss(logits, jnp.array([3.0])))
+        spread = float(distribution_focal_loss(jnp.zeros((1, 8)),
+                                               jnp.array([3.0])))
+        assert small < 1e-3 < spread
+
+    def test_varifocal_and_gaussian_finite(self, rng):
+        from panoswintransformerobjectdetection_tpu.core.losses import (
+            varifocal_loss, gaussian_focal_loss)
+        logits = jnp.asarray(rng.standard_normal((6, 4)).astype(np.float32))
+        t = jnp.zeros((6, 4)).at[0, 1].set(0.7).at[2, 3].set(0.4)
+        v = float(varifocal_loss(logits, t))
+        hm = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+        gt = jnp.zeros((2, 8, 8, 3)).at[0, 4, 4, 0].set(1.0)
+        g = float(gaussian_focal_loss(jax.nn.sigmoid(hm), gt))
+        assert np.isfinite(v) and np.isfinite(g) and v > 0 and g > 0
