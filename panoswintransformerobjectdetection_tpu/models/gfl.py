@@ -173,8 +173,9 @@ class GFL(nn.Module):
 
         loss_cls = losses.quality_focal_loss(
             cls, labels, score, self.num_classes, avg_factor=n_pos)
-        loss_bbox = losses.giou_loss(boxes, tgt_boxes, weight=wq,
-                                     avg_factor=wsum)
+        # loss_weight=2.0 on GIoU per gfl_r50_fpn_1x_coco.py
+        loss_bbox = 2.0 * losses.giou_loss(boxes, tgt_boxes, weight=wq,
+                                           avg_factor=wsum)
         B = cls.shape[0]
         loss_dfl = losses.distribution_focal_loss(
             reg.reshape(B, -1, 4, self.reg_max + 1), tgt_dist,
