@@ -93,3 +93,35 @@ def atss_assign(anchors: jnp.ndarray, level_slices, gts: jnp.ndarray,
     best_gt = masked.argmax(0)
     has = masked.max(0) > 0
     return jnp.where(has, best_gt.astype(jnp.int32) + 1, 0)
+
+
+def point_assign(points: jnp.ndarray, strides: jnp.ndarray, gts: jnp.ndarray,
+                 gvalid: jnp.ndarray, scale: float = 4.0, pos_num: int = 3):
+    """Point assignment (`mmdet/core/bbox/assigners/point_assigner.py`,
+    RepPoints): each gt picks its level by log2(sqrt(wh)/scale), then claims
+    the `pos_num` nearest points (distance normalized by gt size) at that
+    level; a point contested by several gts goes to the nearest one.
+    Returns assigned (N,) with 0 = background, g+1 = gt index.
+    """
+    gw = gts[:, 2] - gts[:, 0]
+    gh = gts[:, 3] - gts[:, 1]
+    gc = jnp.stack([(gts[:, 0] + gts[:, 2]) / 2,
+                    (gts[:, 1] + gts[:, 3]) / 2], -1)             # (G, 2)
+    glvl = jnp.clip(jnp.floor(
+        jnp.log2(jnp.sqrt(jnp.clip(gw * gh, 1e-6)) / scale + 1e-6)), 0, None)
+    plvl = jnp.log2(strides)                                      # (N,)
+    same = jnp.abs(plvl[None, :] - glvl[:, None]) < 0.5           # (G, N)
+    gsize = jnp.sqrt(jnp.clip(gw * gh, 1e-6))[:, None]
+    dist = jnp.linalg.norm(points[None, :, :2] - gc[:, None, :],
+                           axis=-1) / gsize                       # (G, N)
+    BIG = 1e8
+    dist = jnp.where(same & gvalid[:, None], dist, BIG)
+    G, N = dist.shape
+    k = min(pos_num, N)
+    nd, _ = jax.lax.top_k(-dist, k)
+    kth = -nd[:, -1]                                              # (G,)
+    claimed = dist <= kth[:, None]
+    masked = jnp.where(claimed, dist, BIG)
+    best_gt = masked.argmin(0)
+    has = masked.min(0) < BIG
+    return jnp.where(has, best_gt.astype(jnp.int32) + 1, 0)

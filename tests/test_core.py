@@ -357,3 +357,37 @@ class TestSAC:
                                           dimension_numbers=dn)
         np.testing.assert_allclose(np.asarray(out),
                                    np.asarray(0.5 * (y1 + y3)), atol=1e-4)
+
+
+class TestPointAssign:
+    def test_levels_and_nearest(self):
+        from panoswintransformerobjectdetection_tpu.core.assigner import (
+            point_assign)
+        # points: level-3 grid (stride 8) then level-4 (stride 16)
+        p8 = np.stack(np.meshgrid(np.arange(4) * 8 + 4,
+                                  np.arange(4) * 8 + 4), -1).reshape(-1, 2)
+        p16 = np.stack(np.meshgrid(np.arange(2) * 16 + 8,
+                                   np.arange(2) * 16 + 8), -1).reshape(-1, 2)
+        pts = jnp.asarray(np.concatenate([p8, p16]), jnp.float32)
+        strides = jnp.asarray([8.0] * 16 + [16.0] * 4)
+        # gt sqrt(wh)=32 -> log2(32/4)=3 -> stride-8 level; center chosen
+        # off-grid so the 3 nearest points are tie-free
+        gts = jnp.asarray([[1.5, -1.0, 33.5, 31.0]])
+        a = np.asarray(point_assign(pts, strides, gts,
+                                    jnp.asarray([True]), pos_num=3))
+        assert (a[:16] > 0).sum() == 3 and (a[16:] == 0).all()
+        # the claimed points are the 3 nearest to the gt center (17.5, 15)
+        d = np.linalg.norm(np.asarray(pts[:16]) - np.array([17.5, 15.0]),
+                           axis=-1)
+        assert set(np.nonzero(a[:16])[0]) == set(np.argsort(d)[:3])
+
+    def test_contested_point_goes_to_nearest_gt(self):
+        from panoswintransformerobjectdetection_tpu.core.assigner import (
+            point_assign)
+        pts = jnp.asarray([[10.0, 10.0]])
+        strides = jnp.asarray([8.0])
+        gts = jnp.asarray([[0.0, 0.0, 32.0, 32.0],      # center (16,16)
+                           [-6.0, -6.0, 26.0, 26.0]])   # center (10,10)
+        a = np.asarray(point_assign(pts, strides, gts,
+                                    jnp.asarray([True, True]), pos_num=1))
+        assert a[0] == 2
