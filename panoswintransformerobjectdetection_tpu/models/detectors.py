@@ -30,6 +30,7 @@ from .roi_head import (
 from .mask_head import (
     FCNMaskHead, mask_targets_from_bitmaps, mask_head_loss, paste_masks,
 )
+from ..ops.nms import DetResult, NEG_INF
 
 
 def default_train_cfg() -> dict:
@@ -294,3 +295,90 @@ DETECTORS.register(TwoStageDetector, name="PanoFasterRCNN")
 class MaskRCNN(TwoStageDetector):
     """Faster R-CNN + FCN mask branch (`mask_rcnn.py`)."""
     with_mask: bool = True
+
+
+@DETECTORS.register
+class RPN(TwoStageDetector):
+    """Proposal-only detector (`mmdet/models/detectors/rpn.py`): trains and
+    tests just the region proposal network; `simple_test` returns proposals
+    as class-agnostic detections."""
+
+    def __call__(self, images, train: bool = False):
+        feats = self.extract_feat(images, train=train)
+        return self.rpn_m(feats)
+
+    def forward_train(self, images, img_shapes, gt_boxes, gt_labels,
+                      gt_valid, gt_masks=None, pano_ratio_v=None):
+        tc = self.train_cfg or default_train_cfg()
+        feats = self.extract_feat(images, train=True,
+                                  pano_ratio_v=pano_ratio_v)
+        cls_scores, bbox_preds = self.rpn_m(feats)
+        _, anchors = self._anchors(cls_scores)
+        rng = self.make_rng("sampler")
+        return rpn_loss(cls_scores, bbox_preds, anchors, gt_boxes, gt_valid,
+                        rng, target_stds=self.rpn_target_stds, **tc["rpn"])
+
+    def simple_test(self, images, img_shapes, scale_factors=None,
+                    pano_ratio_v=None):
+        cfg = self.test_cfg or default_test_cfg()
+        feats = self.extract_feat(images, train=False,
+                                  pano_ratio_v=pano_ratio_v)
+        cls_scores, bbox_preds = self.rpn_m(feats)
+        level_anchors, _ = self._anchors(cls_scores)
+        props = rpn_proposals(cls_scores, bbox_preds, level_anchors,
+                              img_shapes, target_stds=self.rpn_target_stds,
+                              **cfg["rpn"])
+        boxes = props.boxes
+        if scale_factors is not None:
+            boxes = boxes / scale_factors[:, None, :]
+        labels = jnp.where(props.mask, 0, -1)
+        return DetResult(boxes, jnp.where(props.mask, props.scores, NEG_INF),
+                         labels, props.mask)
+
+
+@DETECTORS.register
+class FastRCNN(TwoStageDetector):
+    """RoI-head-only detector (`mmdet/models/detectors/fast_rcnn.py`):
+    proposals come in with the data (precomputed) instead of from an RPN."""
+
+    def forward_train(self, images, img_shapes, gt_boxes, gt_labels,
+                      gt_valid, proposals=None, proposal_valid=None,
+                      gt_masks=None, pano_ratio_v=None):
+        assert proposals is not None, "FastRCNN requires precomputed proposals"
+        tc = self.train_cfg or default_train_cfg()
+        feats = self.extract_feat(images, train=True,
+                                  pano_ratio_v=pano_ratio_v)
+        if proposal_valid is None:
+            proposal_valid = jnp.ones(proposals.shape[:2], bool)
+        rng = self.make_rng("sampler")
+        samples = sample_rois_for_training(
+            rng, jax.lax.stop_gradient(proposals), proposal_valid, gt_boxes,
+            gt_labels, gt_valid, self.num_classes,
+            target_stds=self.rcnn_target_stds, **tc["rcnn"])
+        B, S, _ = samples.rois.shape
+        roi_feats = multilevel_roi_align(feats[:4], samples.rois.reshape(B * S, 5),
+                                         strides=self.featmap_strides)
+        cls, reg = self.bbox_head_m(roi_feats)
+        return bbox_head_loss(cls, reg, samples, self.num_classes)
+
+    def simple_test(self, images, img_shapes, proposals=None,
+                    scale_factors=None, proposal_valid=None,
+                    pano_ratio_v=None):
+        assert proposals is not None
+        cfg = self.test_cfg or default_test_cfg()
+        feats = self.extract_feat(images, train=False,
+                                  pano_ratio_v=pano_ratio_v)
+        B, P, _ = proposals.shape
+        if proposal_valid is None:
+            proposal_valid = jnp.ones((B, P), bool)
+        bidx = jnp.broadcast_to(
+            jnp.arange(B, dtype=images.dtype)[:, None], (B, P))
+        rois = jnp.concatenate([bidx[..., None], proposals], axis=-1)
+        roi_feats = multilevel_roi_align(feats[:4], rois.reshape(B * P, 5),
+                                         strides=self.featmap_strides)
+        cls, reg = self.bbox_head_m(roi_feats)
+        return bbox_head_detections(
+            cls.reshape(B, P, -1), reg.reshape(B, P, -1), rois, img_shapes,
+            self.num_classes, target_stds=self.rcnn_target_stds,
+            roi_mask=proposal_valid, scale_factors=scale_factors,
+            **cfg["rcnn"])

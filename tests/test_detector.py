@@ -154,3 +154,67 @@ class TestNASFPN:
         for i, o in enumerate(outs):
             assert o.shape == (2, 32 // 2 ** i, 64 // 2 ** i, 12)
         assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+
+
+def _tiny_backbone_cfg():
+    return {"type": "ResNet", "depth": 18, "out_indices": (0, 1, 2, 3)}
+
+
+class TestRPNDetector:
+    def test_train_and_test(self, rng):
+        from panoswintransformerobjectdetection_tpu.models import (
+            DETECTORS, build)
+        det = build(DETECTORS, {
+            "type": "RPN", "backbone": _tiny_backbone_cfg(),
+            "neck": {"type": "FPN", "in_channels": (64, 128, 256, 512),
+                     "out_channels": 16, "num_outs": 5}})
+        B = 2
+        imgs = jnp.asarray(rng.random((B, 64, 64, 3)).astype(np.float32))
+        v = det.init({"params": jax.random.PRNGKey(0),
+                      "sampler": jax.random.PRNGKey(1)}, imgs)
+        shapes = jnp.full((B, 2), 64.0)
+        gtb = jnp.asarray(np.tile(np.array([[[4, 4, 40, 40]]], np.float32),
+                                  (B, 1, 1)))
+        gtv = jnp.ones((B, 1), bool)
+        out, _ = det.apply(v, imgs, shapes, gtb, jnp.zeros((B, 1), jnp.int32),
+                           gtv, method=det.forward_train,
+                           mutable=["batch_stats"],
+                           rngs={"sampler": jax.random.PRNGKey(2)})
+        assert set(out) == {"loss_rpn_cls", "loss_rpn_bbox"}
+        assert all(np.isfinite(float(x)) for x in out.values())
+        res = det.apply(v, imgs, shapes, jnp.ones((B, 4), jnp.float32),
+                        method=det.simple_test)
+        assert res.boxes.shape[0] == B and bool(res.mask.any())
+        assert (np.asarray(res.labels)[np.asarray(res.mask)] == 0).all()
+
+
+class TestFastRCNN:
+    def test_train_and_test_with_given_proposals(self, rng):
+        from panoswintransformerobjectdetection_tpu.models import (
+            DETECTORS, build)
+        det = build(DETECTORS, {
+            "type": "FastRCNN", "backbone": _tiny_backbone_cfg(),
+            "neck": {"type": "FPN", "in_channels": (64, 128, 256, 512),
+                     "out_channels": 16, "num_outs": 5},
+            "num_classes": 3})
+        B, P = 2, 512
+        imgs = jnp.asarray(rng.random((B, 64, 64, 3)).astype(np.float32))
+        v = det.init({"params": jax.random.PRNGKey(0),
+                      "sampler": jax.random.PRNGKey(1)}, imgs)
+        shapes = jnp.full((B, 2), 64.0)
+        props = jnp.asarray(
+            np.stack([np.stack([rng.uniform(0, 30, P), rng.uniform(0, 30, P),
+                                rng.uniform(34, 64, P),
+                                rng.uniform(34, 64, P)], -1)
+                      for _ in range(B)]).astype(np.float32))
+        gtb = jnp.asarray(np.tile(np.array([[[4, 4, 40, 40]]], np.float32),
+                                  (B, 1, 1)))
+        gtv = jnp.ones((B, 1), bool)
+        out, _ = det.apply(v, imgs, shapes, gtb, jnp.zeros((B, 1), jnp.int32),
+                           gtv, props, method=det.forward_train,
+                           mutable=["batch_stats"],
+                           rngs={"sampler": jax.random.PRNGKey(2)})
+        assert "loss_cls" in out and "loss_bbox" in out
+        assert all(np.isfinite(float(x)) for x in out.values())
+        res = det.apply(v, imgs, shapes, props, method=det.simple_test)
+        assert res.boxes.shape[0] == B
