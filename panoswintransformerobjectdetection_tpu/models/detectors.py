@@ -29,6 +29,7 @@ from .roi_head import (
 )
 from .mask_head import (
     FCNMaskHead, mask_targets_from_bitmaps, mask_head_loss, paste_masks,
+    MaskIoUHead, mask_iou_targets, mask_iou_loss,
 )
 from ..ops.nms import DetResult, NEG_INF
 
@@ -126,8 +127,12 @@ class TwoStageDetector(nn.Module):
             mfeats = multilevel_roi_align(feats[:4], dummy_rois,
                                           strides=self.featmap_strides,
                                           out_size=self.mask_roi_size)
-            self.mask_head_m(mfeats)
+            mlogits = self.mask_head_m(mfeats)
+            self._init_extra_mask(mfeats, mlogits)
         return feats, (cls_scores, bbox_preds), (cls, reg)
+
+    def _init_extra_mask(self, mfeats, mlogits):
+        """Init-trace hook for subclasses with extra mask-branch modules."""
 
     # -------------------------------------------------------------- training
     def forward_train(self, images, img_shapes, gt_boxes, gt_labels,
@@ -168,30 +173,45 @@ class TwoStageDetector(nn.Module):
         losses_out.update(bbox_head_loss(cls, reg, samples, self.num_classes))
 
         if self.with_mask and gt_masks is not None:
-            # positives live in the first pos_cap slots of each image's
-            # sample block (see sample_rois_for_training)
-            pos_cap = int(tc["rcnn"]["num_samples"] * tc["rcnn"]["pos_fraction"])
-            pos_rois = samples.rois[:, :pos_cap]                  # (B, Pc, 5)
-            pos_w = samples.bbox_weights[:, :pos_cap]             # (B, Pc)
-            pos_labels = samples.labels[:, :pos_cap]
-            mfeats = multilevel_roi_align(
-                feats[:4], pos_rois.reshape(-1, 5),
-                strides=self.featmap_strides, out_size=self.mask_roi_size)
-            mlogits = self.mask_head_m(mfeats)                    # (B*Pc, 2s, 2s, C)
-
-            def single_targets(gmasks, rois_i, gts_i, gvalid_i):
-                ious = bbox_overlaps(gts_i, rois_i[:, 1:5])
-                ious = jnp.where(gvalid_i[:, None], ious, -1.0)
-                gidx = ious.argmax(axis=0)
-                return mask_targets_from_bitmaps(
-                    gmasks, rois_i, gidx, out_size=self.mask_roi_size * 2)
-
-            tgts = jax.vmap(single_targets)(
-                gt_masks.astype(jnp.float32), pos_rois, gt_boxes, gt_valid)
-            losses_out["loss_mask"] = mask_head_loss(
-                mlogits, tgts.reshape(-1, *tgts.shape[2:]),
-                pos_labels.reshape(-1), pos_w.reshape(-1))
+            mask_out = self._mask_train_outputs(
+                feats, samples, gt_masks, gt_boxes, gt_valid, tc)
+            losses_out["loss_mask"] = mask_out["loss_mask"]
+            self._extra_mask_losses(losses_out, mask_out)
         return losses_out
+
+    def _mask_train_outputs(self, feats, samples, gt_masks, gt_boxes,
+                            gt_valid, tc):
+        """Mask branch forward + targets over positive samples; returns the
+        pieces subclasses (Mask Scoring) need as well as the loss."""
+        # positives live in the first pos_cap slots of each image's
+        # sample block (see sample_rois_for_training)
+        pos_cap = int(tc["rcnn"]["num_samples"] * tc["rcnn"]["pos_fraction"])
+        pos_rois = samples.rois[:, :pos_cap]                  # (B, Pc, 5)
+        pos_w = samples.bbox_weights[:, :pos_cap]             # (B, Pc)
+        pos_labels = samples.labels[:, :pos_cap]
+        mfeats = multilevel_roi_align(
+            feats[:4], pos_rois.reshape(-1, 5),
+            strides=self.featmap_strides, out_size=self.mask_roi_size)
+        mlogits = self.mask_head_m(mfeats)                    # (B*Pc, 2s, 2s, C)
+
+        def single_targets(gmasks, rois_i, gts_i, gvalid_i):
+            ious = bbox_overlaps(gts_i, rois_i[:, 1:5])
+            ious = jnp.where(gvalid_i[:, None], ious, -1.0)
+            gidx = ious.argmax(axis=0)
+            return mask_targets_from_bitmaps(
+                gmasks, rois_i, gidx, out_size=self.mask_roi_size * 2)
+
+        tgts = jax.vmap(single_targets)(
+            gt_masks.astype(jnp.float32), pos_rois, gt_boxes, gt_valid)
+        tgts = tgts.reshape(-1, *tgts.shape[2:])
+        labels = pos_labels.reshape(-1)
+        w = pos_w.reshape(-1)
+        loss = mask_head_loss(mlogits, tgts, labels, w)
+        return {"loss_mask": loss, "mfeats": mfeats, "mlogits": mlogits,
+                "targets": tgts, "labels": labels, "weights": w}
+
+    def _extra_mask_losses(self, losses_out, mask_out):
+        """Hook for subclasses (Mask Scoring R-CNN adds loss_mask_iou)."""
 
     # -------------------------------------------------------------- testing
     def simple_test(self, images, img_shapes, scale_factors=None,
@@ -382,3 +402,54 @@ class FastRCNN(TwoStageDetector):
             self.num_classes, target_stds=self.rcnn_target_stds,
             roi_mask=proposal_valid, scale_factors=scale_factors,
             **cfg["rcnn"])
+
+
+@DETECTORS.register
+class MaskScoringRCNN(MaskRCNN):
+    """Mask Scoring R-CNN (`mmdet/models/detectors/mask_scoring_rcnn.py`):
+    Mask R-CNN + a MaskIoUHead whose predicted mask IoU multiplies the
+    classification score at test time."""
+
+    def setup(self):
+        super().setup()
+        self.mask_iou_head_m = MaskIoUHead(num_classes=self.num_classes)
+
+    def _init_extra_mask(self, mfeats, mlogits):
+        probs = jax.nn.sigmoid(mlogits[..., 0])
+        self.mask_iou_head_m(mfeats, probs)
+
+    def _extra_mask_losses(self, losses_out, mask_out):
+        # background label == num_classes on padded slots: clip before the
+        # gather (out-of-bounds take_along_axis NaN-fills under jit)
+        labels = jnp.clip(mask_out["labels"], 0, self.num_classes - 1)
+        sel = jnp.take_along_axis(
+            mask_out["mlogits"], labels[:, None, None, None], axis=-1)[..., 0]
+        probs = jax.nn.sigmoid(sel)
+        iou_pred = self.mask_iou_head_m(mask_out["mfeats"], probs)
+        iou_tgt = jax.lax.stop_gradient(
+            mask_iou_targets(probs, mask_out["targets"]))
+        losses_out["loss_mask_iou"] = mask_iou_loss(
+            iou_pred, iou_tgt, labels, mask_out["weights"])
+
+    def simple_test_masks(self, images, img_shapes, scale_factors=None):
+        dets, probs = super().simple_test_masks(images, img_shapes,
+                                                scale_factors)
+        feats = self.extract_feat(images, train=False)
+        B, K, _ = dets.boxes.shape
+        boxes_net = dets.boxes
+        if scale_factors is not None:
+            boxes_net = boxes_net * scale_factors[:, None, :]
+        bidx = jnp.broadcast_to(
+            jnp.arange(B, dtype=images.dtype)[:, None], (B, K))
+        rois = jnp.concatenate([bidx[..., None], boxes_net], axis=-1)
+        mfeats = multilevel_roi_align(feats[:4], rois.reshape(B * K, 5),
+                                      strides=self.featmap_strides,
+                                      out_size=self.mask_roi_size)
+        iou_pred = self.mask_iou_head_m(mfeats, probs.reshape(B * K,
+                                                              *probs.shape[2:]))
+        lab = jnp.clip(dets.labels.reshape(-1), 0, self.num_classes - 1)
+        miou = jnp.take_along_axis(iou_pred, lab[:, None], axis=1)[:, 0]
+        miou = jnp.clip(miou.reshape(B, K), 0.0, 1.0)
+        from ..ops.nms import DetResult as _DR
+        new_scores = jnp.where(dets.mask, dets.scores * miou, dets.scores)
+        return _DR(dets.boxes, new_scores, dets.labels, dets.mask), probs

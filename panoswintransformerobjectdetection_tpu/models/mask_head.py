@@ -97,3 +97,54 @@ def paste_masks(mask_probs: jnp.ndarray, boxes: jnp.ndarray,
            g(y0 + 1, x0) * (1 - wx) * wy + g(y0 + 1, x0 + 1) * wx * wy)
     inside = (gx > -1) & (gx < m) & (gy > -1) & (gy < m)
     return (jnp.where(inside, val, 0.0) >= thr)
+
+
+class MaskIoUHead(nn.Module):
+    """Mask IoU regressor (`mmdet/models/roi_heads/mask_heads/maskiou_head.py`,
+    Mask Scoring R-CNN): mask RoI features concatenated with the max-pooled
+    predicted mask go through convs (last stride-2) + FCs to a per-class
+    predicted mask IoU in [0, inf) (trained toward the true IoU)."""
+    num_classes: int = 80
+    num_convs: int = 4
+    conv_out_channels: int = 256
+    fc_out_channels: int = 1024
+
+    @nn.compact
+    def __call__(self, roi_feats: jnp.ndarray,
+                 mask_pred: jnp.ndarray) -> jnp.ndarray:
+        """roi_feats (R, s, s, C); mask_pred (R, 2s, 2s) probabilities for
+        the selected class.  Returns (R, num_classes) predicted mask IoU."""
+        pooled = nn.max_pool(mask_pred[..., None], (2, 2), strides=(2, 2))
+        x = jnp.concatenate([roi_feats, pooled], axis=-1)
+        for i in range(self.num_convs):
+            stride = 2 if i == self.num_convs - 1 else 1
+            x = nn.relu(nn.Conv(self.conv_out_channels, (3, 3),
+                                strides=(stride, stride), padding=1,
+                                name=f"conv{i}")(x))
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(self.fc_out_channels, name="fc0")(x))
+        x = nn.relu(nn.Dense(self.fc_out_channels, name="fc1")(x))
+        return nn.Dense(self.num_classes, name="fc_mask_iou")(x)
+
+
+def mask_iou_targets(mask_probs: jnp.ndarray, mask_targets: jnp.ndarray,
+                     thr: float = 0.5) -> jnp.ndarray:
+    """True IoU between the binarized predicted mask and the RoI-cropped gt
+    target (`maskiou_head.py get_targets`, computed within the RoI)."""
+    p = (mask_probs > thr).astype(jnp.float32)
+    t = (mask_targets > thr).astype(jnp.float32)
+    inter = (p * t).sum((-2, -1))
+    union = jnp.maximum(p.sum((-2, -1)) + t.sum((-2, -1)) - inter, 1e-6)
+    return inter / union
+
+
+def mask_iou_loss(iou_pred: jnp.ndarray, iou_target: jnp.ndarray,
+                  labels: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """L2 on the gt-class channel over positive samples (reference uses MSE
+    with 0.5 weight)."""
+    # clip: padded/negative slots carry the background label == num_classes
+    # (out of bounds -> NaN fill under jit); their weight is 0 but 0*NaN=NaN
+    lab = jnp.clip(labels, 0, iou_pred.shape[1] - 1)
+    sel = jnp.take_along_axis(iou_pred, lab[:, None], axis=1)[:, 0]
+    per = 0.5 * (sel - iou_target) ** 2
+    return (per * weights).sum() / jnp.maximum(weights.sum(), 1.0)
