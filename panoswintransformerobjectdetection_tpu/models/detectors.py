@@ -453,3 +453,11 @@ class MaskScoringRCNN(MaskRCNN):
         from ..ops.nms import DetResult as _DR
         new_scores = jnp.where(dets.mask, dets.scores * miou, dets.scores)
         return _DR(dets.boxes, new_scores, dets.labels, dets.mask), probs
+
+
+# `mmdet/models/detectors/trident_faster_rcnn.py`: Faster R-CNN over the
+# weight-shared multi-dilation TridentResNet backbone.  The reference's
+# branch-as-batch trick is a CUDA-memory workaround; here the trident
+# branches are vmapped inside the backbone (`backbones_extra.TridentResNet`)
+# and the detection orchestration is the standard two-stage path.
+DETECTORS.register(TwoStageDetector, name="TridentFasterRCNN")

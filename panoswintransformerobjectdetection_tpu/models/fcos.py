@@ -212,3 +212,9 @@ class FCOS(nn.Module):
                              jnp.where(r.mask, lab, -1), r.mask)
 
         return jax.vmap(one)(boxes, scores, labels, valid)
+
+
+# `mmdet/models/detectors/nasfcos.py`: FCOS orchestration with the
+# NAS-discovered neck (use neck={"type": "NASFPN", ...}) — the searched
+# head conv-cfg is a training-time detail, the detector logic is identical.
+DETECTORS.register(FCOS, name="NASFCOS")
