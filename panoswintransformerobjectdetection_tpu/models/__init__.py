@@ -24,6 +24,7 @@ from . import fovea  # noqa: F401
 from . import fsaf  # noqa: F401
 from . import vfnet  # noqa: F401
 from . import paa  # noqa: F401
+from . import cornernet  # noqa: F401
 from . import reppoints  # noqa: F401
 from . import htc  # noqa: F401
 from . import hrnet  # noqa: F401
