@@ -187,3 +187,14 @@ def gaussian_focal_loss(pred, gaussian_target, alpha=2.0, gamma=4.0,
     pos = -jnp.log(pred + eps) * (1 - pred) ** alpha * pos_w
     neg = -jnp.log(1 - pred + eps) * pred ** alpha * neg_w
     return _reduce(pos + neg, weight, avg_factor)
+
+
+def kd_kl_div_loss(pred, soft_logits, T=10.0, weight=None, avg_factor=None):
+    """Knowledge-distillation KL (`mmdet/models/losses/kd_loss.py:11`):
+    KL(softmax(teacher/T) || softmax(student/T)) * T^2, mean over the last
+    axis.  Teacher is detached."""
+    tgt = jax.lax.stop_gradient(jax.nn.softmax(soft_logits / T, axis=-1))
+    logp = jax.nn.log_softmax(pred / T, axis=-1)
+    # F.kl_div(log_q, p) = p * (log p - log q)
+    kl = tgt * (jnp.log(jnp.clip(tgt, 1e-12)) - logp)
+    return _reduce(kl.mean(-1) * (T * T), weight, avg_factor)

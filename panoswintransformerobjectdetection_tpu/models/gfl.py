@@ -142,6 +142,14 @@ class GFL(nn.Module):
         cls_scores, reg_logits = self(images, train=True)
         cls, reg, anchors, centers, stride, slices = self._flatten(
             cls_scores, reg_logits)
+        out = self._losses_from_flat(cls, reg, anchors, centers, stride,
+                                     slices, gt_boxes, gt_labels, gt_valid)
+        out.pop("_pos_weight")
+        return out
+
+    def _losses_from_flat(self, cls, reg, anchors, centers, stride, slices,
+                          gt_boxes, gt_labels,
+                          gt_valid) -> Dict[str, jnp.ndarray]:
         dist = integral(reg, self.reg_max)                     # stride units
         boxes = distance2bbox(centers[None] / stride[None, :, None],
                               dist) * stride[None, :, None]
@@ -181,7 +189,7 @@ class GFL(nn.Module):
             reg.reshape(B, -1, 4, self.reg_max + 1), tgt_dist,
             weight=wq[..., None] / 4.0, avg_factor=wsum)
         return {"loss_cls": loss_cls, "loss_bbox": loss_bbox,
-                "loss_dfl": loss_dfl}
+                "loss_dfl": loss_dfl, "_pos_weight": wq}
 
     def simple_test(self, images, img_shapes, scale_factors=None,
                     *, nms_pre=1000, score_thr=0.05, iou_threshold=0.6,
@@ -215,3 +223,34 @@ class GFL(nn.Module):
                              jnp.where(r.mask, lab, -1), r.mask)
 
         return jax.vmap(one)(bx, top_s, li, valid)
+
+
+@DETECTORS.register
+class LDGFL(GFL):
+    """Localization Distillation (`mmdet/models/dense_heads/ld_head.py` +
+    `detectors/kd_one_stage.py`): a GFL student whose box distributions are
+    additionally distilled from a frozen teacher's via temperature-10 KL on
+    positive anchors.  The teacher's flattened reg logits are an input to
+    `forward_train_kd` (computed with the frozen teacher params outside the
+    student's grad, e.g. `teacher.apply` + `_flatten` under stop_gradient —
+    the reference equally runs the teacher in `torch.no_grad`)."""
+
+    kd_T: float = 10.0
+
+    def forward_train_kd(self, images, img_shapes, gt_boxes, gt_labels,
+                         gt_valid, teacher_reg) -> Dict[str, jnp.ndarray]:
+        """teacher_reg: (B, N, 4*(reg_max+1)) flattened teacher distribution
+        logits over the same anchor layout."""
+        cls_scores, reg_logits = self(images, train=True)
+        cls, reg, anchors, centers, stride, slices = self._flatten(
+            cls_scores, reg_logits)
+        out = self._losses_from_flat(cls, reg, anchors, centers, stride,
+                                     slices, gt_boxes, gt_labels, gt_valid)
+        pos_w = out.pop("_pos_weight")
+        B = cls.shape[0]
+        out["loss_ld"] = 0.25 * losses.kd_kl_div_loss(
+            reg.reshape(B, -1, 4, self.reg_max + 1),
+            teacher_reg.reshape(B, -1, 4, self.reg_max + 1), T=self.kd_T,
+            weight=pos_w[..., None] / 4.0,
+            avg_factor=jnp.maximum(pos_w.sum(), 1e-6))
+        return out
