@@ -167,3 +167,82 @@ class RetinaNet(nn.Module):
                              jnp.where(r.mask, lab, -1), r.mask)
 
         return jax.vmap(one)(boxes, scores, labels, valid)
+
+
+@DETECTORS.register
+class FreeAnchorRetinaNet(RetinaNet):
+    """FreeAnchor (`mmdet/models/dense_heads/free_anchor_retina_head.py`):
+    RetinaNet scores/deltas trained with the maximum-likelihood bag loss —
+    per gt a top-`pre_anchor_topk` IoU bag, positive term
+    -alpha*log(mean-max(P_cls * P_loc)), negative term a focal penalty on
+    cls_prob * (1 - P{anchor in A+}).  Fixed-shape: sparse max over classes
+    becomes a segment_max, padded gts carry zero probability.
+    """
+    pre_anchor_topk: int = 50
+    bbox_thr: float = 0.6
+    fa_alpha: float = 0.5
+    fa_gamma: float = 2.0
+    bbox_loss_weight: float = 0.75
+
+    def forward_train(self, images, img_shapes, gt_boxes, gt_labels,
+                      gt_valid) -> Dict[str, jnp.ndarray]:
+        cls_scores, bbox_preds = self(images, train=True)
+        sizes = [tuple(c.shape[1:3]) for c in cls_scores]
+        anchors = jnp.concatenate(
+            [jnp.asarray(a) for a in self.anchor_gen.grid_anchors(sizes)], 0)
+        B = images.shape[0]
+        C = self.num_classes
+        cls = jnp.concatenate(
+            [c.reshape(B, -1, C) for c in cls_scores], 1)
+        reg = jnp.concatenate([r.reshape(B, -1, 4) for r in bbox_preds], 1)
+        cls_prob = jax.nn.sigmoid(cls)
+        K = self.pre_anchor_topk
+        EPS = 1e-12
+
+        def single(cls_p, reg_p, gts, glabels, gvalid):
+            # image_box_prob P{a_j in A+} (N, C), no grad
+            dec = jax.lax.stop_gradient(
+                delta_decode(anchors, reg_p, stds=self.target_stds))
+            iou = bbox_overlaps(gts, dec)                       # (G, N)
+            t1 = self.bbox_thr
+            t2 = jnp.clip(iou.max(1, keepdims=True), t1 + 1e-12)
+            obj_prob = jnp.clip((iou - t1) / (t2 - t1), 0.0, 1.0)
+            obj_prob = jnp.where(gvalid[:, None], obj_prob, 0.0)
+            seg = jnp.clip(glabels, 0, C - 1)
+            box_prob = jnp.maximum(
+                jax.ops.segment_max(obj_prob, seg, num_segments=C),
+                0.0).T                                          # (N, C)
+            box_prob = jax.lax.stop_gradient(box_prob)
+
+            # bags: top-K anchors per gt by anchor IoU
+            aiou = bbox_overlaps(gts, anchors)                  # (G, N)
+            _, matched = jax.lax.top_k(aiou, K)                 # (G, K)
+            mcls = jnp.take_along_axis(
+                cls_p[matched],                                 # (G, K, C)
+                jnp.clip(glabels, 0, C - 1)[:, None, None].repeat(K, 1),
+                axis=-1)[..., 0]                                # (G, K)
+            menc = delta_encode(anchors[matched],
+                                gts[:, None, :].repeat(K, 1),
+                                stds=self.target_stds)
+            diff = jnp.abs(reg_p[matched] - jax.lax.stop_gradient(menc))
+            beta = 0.11
+            sl1 = jnp.where(diff < beta, 0.5 * diff * diff / beta,
+                            diff - 0.5 * beta).sum(-1)
+            mbox = jnp.exp(-self.bbox_loss_weight * sl1)        # (G, K)
+            mprob = mcls * mbox
+            wgt = 1.0 / jnp.clip(1.0 - mprob, EPS)
+            wgt = wgt / wgt.sum(1, keepdims=True)
+            bag_prob = (wgt * mprob).sum(1)                     # (G,)
+            pos = -self.fa_alpha * jnp.log(jnp.clip(bag_prob, EPS))
+            pos = jnp.where(gvalid, pos, 0.0)
+
+            nprob = jnp.clip(cls_p * (1.0 - box_prob), EPS, 1 - EPS)
+            neg = ((1 - self.fa_alpha) * nprob ** self.fa_gamma *
+                   -jnp.log1p(-nprob)).sum()
+            return pos.sum(), neg, gvalid.sum()
+
+        pos, neg, npos = jax.vmap(single)(cls_prob, reg, gt_boxes,
+                                          gt_labels, gt_valid)
+        n = jnp.maximum(npos.sum().astype(jnp.float32), 1.0)
+        return {"positive_bag_loss": pos.sum() / n,
+                "negative_bag_loss": neg.sum() / (n * K)}

@@ -59,3 +59,38 @@ class TestRetinaNet:
         g = jax.grad(loss_fn)(variables["params"])
         assert all(np.isfinite(np.asarray(l)).all()
                    for l in jax.tree_util.tree_leaves(g))
+
+
+def test_free_anchor_train(rng):
+    import jax
+    from panoswintransformerobjectdetection_tpu.models import DETECTORS, build
+    det = build(DETECTORS, {
+        "type": "FreeAnchorRetinaNet",
+        "backbone": {"type": "ResNet", "depth": 18, "out_indices": (1, 2, 3)},
+        "neck": {"type": "FPN", "in_channels": (128, 256, 512),
+                 "out_channels": 32, "num_outs": 5, "add_extra_convs": True},
+        "num_classes": 3, "pre_anchor_topk": 16,
+    })
+    B = 2
+    imgs = jnp.asarray(rng.random((B, 64, 64, 3)).astype(np.float32))
+    v = det.init(jax.random.PRNGKey(0), imgs)
+    shapes = jnp.full((B, 2), 64.0)
+    gtb = jnp.asarray(np.tile(np.array([[[4, 4, 40, 40]]], np.float32),
+                              (B, 1, 1)))
+    out, _ = det.apply(v, imgs, shapes, gtb, jnp.zeros((B, 1), jnp.int32),
+                       jnp.ones((B, 1), bool), method=det.forward_train,
+                       mutable=["batch_stats"])
+    assert set(out) == {"positive_bag_loss", "negative_bag_loss"}
+    assert all(np.isfinite(float(x)) and float(x) > 0 for x in out.values())
+    grads = jax.grad(lambda p: sum(det.apply(
+        {**v, "params": p}, imgs, shapes, gtb, jnp.zeros((B, 1), jnp.int32),
+        jnp.ones((B, 1), bool), method=det.forward_train,
+        mutable=["batch_stats"])[0].values()))(v["params"])
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+    # all-padded gts: positive term 0, still finite
+    out2, _ = det.apply(v, imgs, shapes, gtb, jnp.zeros((B, 1), jnp.int32),
+                        jnp.zeros((B, 1), bool), method=det.forward_train,
+                        mutable=["batch_stats"])
+    assert float(out2["positive_bag_loss"]) == 0.0
+    assert np.isfinite(float(out2["negative_bag_loss"]))
