@@ -26,6 +26,7 @@ from . import vfnet  # noqa: F401
 from . import paa  # noqa: F401
 from . import cornernet  # noqa: F401
 from . import yolact  # noqa: F401
+from . import point_rend  # noqa: F401
 from . import reppoints  # noqa: F401
 from . import htc  # noqa: F401
 from . import hrnet  # noqa: F401
