@@ -31,12 +31,14 @@ STAGE_WEIGHTS = (1.0, 0.5, 0.25)
 @DETECTORS.register
 class CascadeRCNN(TwoStageDetector):
     num_stages: int = 3
+    cascade_return_feat: bool = False   # SCNet: expose the shared fc feature
 
     def setup(self):
         super().setup()
         self.cascade_heads = [
             Shared2FCBBoxHead(num_classes=self.num_classes,
                               reg_class_agnostic=True,
+                              return_feat=self.cascade_return_feat,
                               dtype=self.compute_dtype,
                               name=f"cascade_head_{t}")
             for t in range(self.num_stages)
@@ -85,7 +87,7 @@ class CascadeRCNN(TwoStageDetector):
             S = samples.rois.shape[1]
             rf = multilevel_roi_align(feats[:4], samples.rois.reshape(B * S, 5),
                                       strides=self.featmap_strides)
-            cls, reg = self.cascade_heads[t](rf)
+            cls, reg = self.cascade_heads[t](rf)[:2]
             stage = bbox_head_loss(cls, reg, samples, self.num_classes,
                                    reg_class_agnostic=True)
             for k, v in stage.items():
@@ -118,7 +120,7 @@ class CascadeRCNN(TwoStageDetector):
             rois = jnp.concatenate([bidx, boxes], axis=-1)
             rf = multilevel_roi_align(feats[:4], rois.reshape(B * P, 5),
                                       strides=self.featmap_strides)
-            cls, reg = self.cascade_heads[t](rf)
+            cls, reg = self.cascade_heads[t](rf)[:2]
             stage_scores.append(jax.nn.softmax(cls.reshape(B, P, -1), axis=-1))
             dec = delta_decode(boxes.reshape(B * P, 4), reg.reshape(B * P, 4),
                                means=(0., 0., 0., 0.), stds=STAGE_STDS[t])

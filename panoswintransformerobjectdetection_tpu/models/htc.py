@@ -138,7 +138,7 @@ class HybridTaskCascade(CascadeRCNN):
             S = samples.rois.shape[1]
             rf = multilevel_roi_align(feats[:4], samples.rois.reshape(B * S, 5),
                                       strides=self.featmap_strides)
-            cls, reg = self.cascade_heads[t](rf)
+            cls, reg = self.cascade_heads[t](rf)[:2]
             stage = bbox_head_loss(cls, reg, samples, self.num_classes,
                                    reg_class_agnostic=True)
             for k, v in stage.items():

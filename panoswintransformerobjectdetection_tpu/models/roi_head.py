@@ -44,6 +44,7 @@ class Shared2FCBBoxHead(nn.Module):
     num_classes: int = 80
     fc_out_channels: int = 1024
     reg_class_agnostic: bool = False
+    return_feat: bool = False   # also return the shared fc feature (SCNet relay)
     dtype: Any = None
 
     @nn.compact
@@ -63,6 +64,8 @@ class Shared2FCBBoxHead(nn.Module):
         reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
         reg = nn.Dense(reg_dim, kernel_init=trunc_init, dtype=dt,
                        name="fc_reg")(x).astype(jnp.float32)
+        if self.return_feat:
+            return cls, reg, x.astype(jnp.float32)
         return cls, reg
 
 
