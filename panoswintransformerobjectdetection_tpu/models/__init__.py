@@ -31,6 +31,7 @@ from . import grid_rcnn  # noqa: F401
 from . import sparse_rcnn  # noqa: F401
 from . import scnet  # noqa: F401
 from . import guided_anchor  # noqa: F401
+from . import sabl  # noqa: F401
 from . import reppoints  # noqa: F401
 from . import htc  # noqa: F401
 from . import hrnet  # noqa: F401

@@ -1,0 +1,51 @@
+"""SABL tests: bucket encode/decode inverse + detector train/test."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from panoswintransformerobjectdetection_tpu.models import DETECTORS, build
+from panoswintransformerobjectdetection_tpu.models.sabl import (
+    bucket_encode, bucket_decode)
+
+
+def test_bucket_roundtrip(rng):
+    anchors = jnp.asarray([[16.0, 16.0, 48.0, 48.0]] * 5)
+    gts = jnp.asarray(rng.uniform(8, 56, (5, 4)).astype(np.float32))
+    gts = jnp.stack([jnp.minimum(gts[:, 0], gts[:, 2]),
+                     jnp.minimum(gts[:, 1], gts[:, 3]),
+                     jnp.maximum(gts[:, 0], gts[:, 2]),
+                     jnp.maximum(gts[:, 1], gts[:, 3])], -1)
+    lab, off = bucket_encode(anchors, gts, 14, 3.0)
+    # build perfect logits from the labels and decode back
+    logits = jax.nn.one_hot(lab, 14) * 10.0                 # (N, 4, K)
+    offs = jnp.zeros((5, 4, 14))
+    for s in range(4):
+        offs = offs.at[jnp.arange(5), s, lab[:, s]].set(off[:, s])
+    dec = np.asarray(bucket_decode(anchors, logits, offs, 14, 3.0))
+    np.testing.assert_allclose(dec, np.asarray(gts), atol=1e-3)
+
+
+def test_sabl_train_and_test(rng):
+    det = build(DETECTORS, {
+        "type": "SABLRetinaNet",
+        "backbone": {"type": "ResNet", "depth": 18, "out_indices": (1, 2, 3)},
+        "neck": {"type": "FPN", "in_channels": (128, 256, 512),
+                 "out_channels": 32, "num_outs": 5, "add_extra_convs": True,
+                 "relu_before_extra_convs": True},
+        "num_classes": 3,
+    })
+    B = 2
+    imgs = jnp.asarray(rng.random((B, 64, 64, 3)).astype(np.float32))
+    v = det.init(jax.random.PRNGKey(0), imgs)
+    shapes = jnp.full((B, 2), 64.0)
+    gtb = jnp.asarray(np.tile(np.array([[[4, 4, 44, 44]]], np.float32),
+                              (B, 1, 1)))
+    out, _ = det.apply(v, imgs, shapes, gtb, jnp.zeros((B, 1), jnp.int32),
+                       jnp.ones((B, 1), bool), method=det.forward_train,
+                       mutable=["batch_stats"])
+    for k in ("loss_cls", "loss_bbox_cls", "loss_bbox_reg"):
+        assert np.isfinite(float(out[k])), k
+    res = det.apply(v, imgs, shapes, jnp.ones((B, 4), jnp.float32),
+                    method=det.simple_test)
+    assert res.boxes.shape == (B, 100, 4)
