@@ -198,3 +198,39 @@ def kd_kl_div_loss(pred, soft_logits, T=10.0, weight=None, avg_factor=None):
     # F.kl_div(log_q, p) = p * (log p - log q)
     kl = tgt * (jnp.log(jnp.clip(tgt, 1e-12)) - logp)
     return _reduce(kl.mean(-1) * (T * T), weight, avg_factor)
+
+
+def carl_weights(cls_logits, labels, pos_mask, num_classes, k=1.0,
+                 bias=0.2, sigmoid=False):
+    """Classification-Aware Regression Loss weights
+    (`mmdet/models/losses/pisa_loss.py:122 carl_loss`): regression loss of
+    each positive scaled by (bias + (1-bias) * p_cls)^k, renormalized so
+    the total stays num_pos.  Multiply into the reg loss's elementwise
+    weight; the cls score keeps its gradient (that is CARL's point)."""
+    lab = jnp.clip(labels, 0, num_classes - 1)
+    if sigmoid:
+        p = jax.nn.sigmoid(cls_logits)
+    else:
+        p = jax.nn.softmax(cls_logits, -1)
+    pc = jnp.take_along_axis(p, lab[..., None], -1)[..., 0]
+    w = (bias + (1 - bias) * pc) ** k
+    w = w * pos_mask
+    n = jnp.maximum(pos_mask.sum(), 1.0)
+    return w * (n / jnp.maximum(w.sum(), 1e-6))
+
+
+def isr_weights(ious, pos_mask, k=2.0, bias=0.0):
+    """Importance-based Sample Reweighting, positive part
+    (`pisa_loss.py:8 isr_p`), flattened-rank variant: positives ranked by
+    IoU with their target (descending); weight = (bias + (1-bias) *
+    (1 - rank/n))^k, renormalized to keep the positive loss mass.  The
+    reference ranks hierarchically per (class, gt) group; with masked
+    fixed-shape batches a global IoU rank is the tight equivalent."""
+    n = jnp.maximum(pos_mask.sum(), 1.0)
+    masked = jnp.where(pos_mask > 0, ious, -jnp.inf)
+    order = jnp.argsort(-masked)
+    rank = jnp.zeros_like(masked).at[order].set(
+        jnp.arange(masked.shape[0], dtype=masked.dtype))
+    w = (bias + (1 - bias) * (1.0 - rank / n)) ** k
+    w = jnp.clip(w, 0.0) * pos_mask
+    return w * (n / jnp.maximum(w.sum(), 1e-6))

@@ -88,3 +88,25 @@ class TestGFLLosses:
         gt = jnp.zeros((2, 8, 8, 3)).at[0, 4, 4, 0].set(1.0)
         g = float(gaussian_focal_loss(jax.nn.sigmoid(hm), gt))
         assert np.isfinite(v) and np.isfinite(g) and v > 0 and g > 0
+
+
+class TestPISA:
+    def test_carl_weights_sum_to_num_pos(self, rng):
+        from panoswintransformerobjectdetection_tpu.core.losses import (
+            carl_weights)
+        logits = jnp.asarray(rng.standard_normal((10, 5)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 6, 10).astype(np.int32))
+        pos = (labels < 5).astype(jnp.float32)
+        w = np.asarray(carl_weights(logits, labels, pos, 5))
+        assert abs(w.sum() - float(pos.sum())) < 1e-4
+        assert (w[np.asarray(pos) == 0] == 0).all()
+
+    def test_isr_weights_rank_order(self):
+        from panoswintransformerobjectdetection_tpu.core.losses import (
+            isr_weights)
+        ious = jnp.asarray([0.9, 0.5, 0.7, 0.3])
+        pos = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+        w = np.asarray(isr_weights(ious, pos))
+        # higher IoU -> higher weight; padded slot zero
+        assert w[0] > w[2] > w[1] and w[3] == 0
+        assert abs(w.sum() - 3.0) < 1e-4
