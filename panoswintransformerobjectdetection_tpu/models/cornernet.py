@@ -259,3 +259,169 @@ class CornerNet(nn.Module):
         mask = top_s > score_thr
         return DetResult(boxes, jnp.where(mask, top_s, NEG_INF),
                          jnp.where(mask, labels, -1), mask)
+
+
+class _CentripetalBranch(nn.Module):
+    """Corner branch + centripetal-shift head (embedding replaced by a
+    2-vector pointing from the corner toward the box center)."""
+    num_classes: int
+    directions: Tuple[str, str]
+    feat_channels: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        base = _CornerBranch(self.num_classes, self.directions,
+                             self.feat_channels, name="corner")
+        heat, off, _ = base(x)
+        shift = nn.Conv(2, (1, 1), name="shift_out")(
+            nn.relu(nn.Conv(self.feat_channels, (3, 3), padding=1,
+                            name="shift_conv")(x)))
+        return heat, off, shift
+
+
+@HEADS.register
+class CentripetalHead(nn.Module):
+    """`mmdet/models/dense_heads/centripetal_head.py`: CornerHead whose
+    corners are paired by agreement of their predicted centripetal shifts
+    (corner + shift ≈ box center) instead of associative embeddings."""
+    num_classes: int = 80
+
+    @nn.compact
+    def __call__(self, feats):
+        outs = []
+        for si, f in enumerate(feats):
+            tl = _CentripetalBranch(self.num_classes, ("top", "left"),
+                                    name=f"tl_{si}")(f)
+            br = _CentripetalBranch(self.num_classes, ("bottom", "right"),
+                                    name=f"br_{si}")(f)
+            outs.append(tl + br)
+        return tuple(outs)
+
+
+@DETECTORS.register
+class CentripetalNet(CornerNet):
+    """CornerNet orchestration with the centripetal head; pairing accepts a
+    (tl, br) pair when both predicted centers fall inside the central
+    region of the candidate box."""
+    center_region: float = 0.5
+
+    def setup(self):
+        self.backbone_m = build(BACKBONES, dict(self.backbone))
+        self.head_m = CentripetalHead(num_classes=self.num_classes)
+
+    def forward_train(self, images, img_shapes, gt_boxes, gt_labels,
+                      gt_valid) -> Dict[str, jnp.ndarray]:
+        stacks = self(images, train=True)
+        H, W = stacks[0][0].shape[1:3]
+        tl_t, br_t, tlx, tly, brx, bry = self._targets(
+            H, W, gt_boxes, gt_labels, gt_valid)
+        tl_t = jax.lax.stop_gradient(tl_t)
+        br_t = jax.lax.stop_gradient(br_t)
+        ix_tl = jnp.clip(tlx.astype(jnp.int32), 0, W - 1)
+        iy_tl = jnp.clip(tly.astype(jnp.int32), 0, H - 1)
+        ix_br = jnp.clip(brx.astype(jnp.int32), 0, W - 1)
+        iy_br = jnp.clip(bry.astype(jnp.int32), 0, H - 1)
+        cx = (tlx + brx) / 2
+        cy = (tly + bry) / 2
+        # shift targets: corner pixel -> center, in feature units
+        sh_tl_t = jnp.stack([cx - ix_tl, cy - iy_tl], -1)
+        sh_br_t = jnp.stack([cx - ix_br, cy - iy_br], -1)
+        off_tl_t = jnp.stack([tlx - ix_tl, tly - iy_tl], -1)
+        off_br_t = jnp.stack([brx - ix_br, bry - iy_br], -1)
+        n_pos = jnp.maximum(gt_valid.sum(), 1.0)
+        wv = gt_valid.astype(jnp.float32)
+
+        def gather_bg(maps, iy, ix):
+            return jax.vmap(lambda m, y, x: m[y, x])(maps, iy, ix)
+
+        ld, lo, ls = 0.0, 0.0, 0.0
+        for (tl_heat, tl_off, tl_shift, br_heat, br_off, br_shift) in stacks:
+            ld = ld + (losses.gaussian_focal_loss(
+                jax.nn.sigmoid(tl_heat), tl_t, avg_factor=n_pos)
+                + losses.gaussian_focal_loss(
+                    jax.nn.sigmoid(br_heat), br_t, avg_factor=n_pos))
+            lo = lo + (losses.smooth_l1_loss(
+                gather_bg(tl_off, iy_tl, ix_tl), off_tl_t,
+                weight=wv[..., None], avg_factor=2 * n_pos)
+                + losses.smooth_l1_loss(
+                    gather_bg(br_off, iy_br, ix_br), off_br_t,
+                    weight=wv[..., None], avg_factor=2 * n_pos))
+            ls = ls + (losses.smooth_l1_loss(
+                gather_bg(tl_shift, iy_tl, ix_tl),
+                jnp.log1p(jnp.clip(sh_tl_t, 0)), weight=wv[..., None],
+                avg_factor=2 * n_pos)
+                + losses.smooth_l1_loss(
+                    gather_bg(br_shift, iy_br, ix_br),
+                    -jnp.log1p(jnp.clip(-sh_br_t, 0)),
+                    weight=wv[..., None], avg_factor=2 * n_pos))
+        k = float(len(stacks))
+        return {"loss_heatmap": ld / k, "loss_offset": lo / k,
+                "loss_centripetal_shift": ls / k}
+
+    def simple_test(self, images, img_shapes, scale_factors=None,
+                    *, max_per_img=100, score_thr=0.05) -> DetResult:
+        stacks = self(images, train=False)
+        tl_heat, tl_off, tl_shift, br_heat, br_off, br_shift = stacks[-1]
+        B, H, W, C = tl_heat.shape
+        K = self.corner_topk
+
+        def corners(heat, off, shift, sign):
+            p = jax.nn.sigmoid(heat)
+            mx = nn.max_pool(p, (3, 3), strides=(1, 1), padding="SAME")
+            p = jnp.where(p == mx, p, 0.0)
+            flat = p.reshape(B, -1)
+            s, idx = jax.lax.top_k(flat, K)
+            cls = (idx % C).astype(jnp.int32)
+            pix = idx // C
+            y = (pix // W).astype(jnp.float32)
+            x = (pix % W).astype(jnp.float32)
+            oxy = jax.vmap(lambda o, iy, ix: o[iy, ix])(off, pix // W,
+                                                        pix % W)
+            sxy = jax.vmap(lambda o, iy, ix: o[iy, ix])(shift, pix // W,
+                                                        pix % W)
+            # invert the log1p shift encoding
+            ctr_x = x + sign * jnp.expm1(jnp.abs(sxy[..., 0]))
+            ctr_y = y + sign * jnp.expm1(jnp.abs(sxy[..., 1]))
+            return (s, cls, (x + oxy[..., 0]) * self.stride,
+                    (y + oxy[..., 1]) * self.stride,
+                    ctr_x * self.stride, ctr_y * self.stride)
+
+        s_tl, c_tl, x_tl, y_tl, cx_tl, cy_tl = corners(tl_heat, tl_off,
+                                                       tl_shift, +1.0)
+        s_br, c_br, x_br, y_br, cx_br, cy_br = corners(br_heat, br_off,
+                                                       br_shift, -1.0)
+        score = (s_tl[:, :, None] + s_br[:, None, :]) / 2
+        bx1 = x_tl[:, :, None]
+        by1 = y_tl[:, :, None]
+        bx2 = x_br[:, None, :]
+        by2 = y_br[:, None, :]
+        bcx = (bx1 + bx2) / 2
+        bcy = (by1 + by2) / 2
+        half_w = (bx2 - bx1) * self.center_region / 2
+        half_h = (by2 - by1) * self.center_region / 2
+        ok = ((c_tl[:, :, None] == c_br[:, None, :]) &
+              (bx2 > bx1) & (by2 > by1) &
+              (jnp.abs(cx_tl[:, :, None] - bcx) <= half_w) &
+              (jnp.abs(cy_tl[:, :, None] - bcy) <= half_h) &
+              (jnp.abs(cx_br[:, None, :] - bcx) <= half_w) &
+              (jnp.abs(cy_br[:, None, :] - bcy) <= half_h))
+        score = jnp.where(ok, score, NEG_INF)
+        flat = score.reshape(B, -1)
+        top_s, top_i = jax.lax.top_k(flat, max_per_img)
+        ti = top_i // K
+        bi = top_i % K
+        boxes = jnp.stack([jnp.take_along_axis(x_tl, ti, 1),
+                           jnp.take_along_axis(y_tl, ti, 1),
+                           jnp.take_along_axis(x_br, bi, 1),
+                           jnp.take_along_axis(y_br, bi, 1)], -1)
+        labels = jnp.take_along_axis(c_tl, ti, 1)
+        h = img_shapes[:, 0][:, None, None]
+        w = img_shapes[:, 1][:, None, None]
+        x = jnp.clip(boxes[..., 0::2], 0, w)
+        y = jnp.clip(boxes[..., 1::2], 0, h)
+        boxes = jnp.stack([x[..., 0], y[..., 0], x[..., 1], y[..., 1]], -1)
+        if scale_factors is not None:
+            boxes = boxes / scale_factors[:, None, :]
+        mask = top_s > score_thr
+        return DetResult(boxes, jnp.where(mask, top_s, NEG_INF),
+                         jnp.where(mask, labels, -1), mask)

@@ -57,3 +57,24 @@ def test_cornernet_train_and_test(rng):
     b = np.asarray(res.boxes)[0][m]
     if len(b):
         assert (b[:, 2] >= b[:, 0]).all() and (b[:, 3] >= b[:, 1]).all()
+
+
+def test_centripetalnet_train_and_test(rng):
+    det = build(DETECTORS, {
+        "type": "CentripetalNet",
+        "backbone": {"type": "HourglassNet", "num_stacks": 1, "depth": 2},
+        "num_classes": 3, "corner_topk": 20,
+    })
+    B = 1
+    imgs = jnp.asarray(rng.random((B, 64, 64, 3)).astype(np.float32))
+    v = det.init(jax.random.PRNGKey(0), imgs)
+    shapes = jnp.full((B, 2), 64.0)
+    gtb = jnp.asarray([[[8, 8, 40, 40]]], jnp.float32)
+    out, _ = det.apply(v, imgs, shapes, gtb, jnp.zeros((B, 1), jnp.int32),
+                       jnp.ones((B, 1), bool), method=det.forward_train,
+                       mutable=["batch_stats"])
+    for k in ("loss_heatmap", "loss_offset", "loss_centripetal_shift"):
+        assert np.isfinite(float(out[k])), k
+    res = det.apply(v, imgs, shapes, jnp.ones((B, 4), jnp.float32),
+                    method=det.simple_test)
+    assert res.boxes.shape == (B, 100, 4)
