@@ -461,3 +461,39 @@ class MaskScoringRCNN(MaskRCNN):
 # branches are vmapped inside the backbone (`backbones_extra.TridentResNet`)
 # and the detection orchestration is the standard two-stage path.
 DETECTORS.register(TwoStageDetector, name="TridentFasterRCNN")
+
+
+@DETECTORS.register
+class DetectoRS(TwoStageDetector):
+    """DetectoRS (`mmdet/models/detectors/` via `necks/rfp.py` +
+    `backbones/detectors_resnet.py`): Recursive Feature Pyramid — the FPN
+    output is fed back into the backbone stages (zero-init 1x1 rfp convs)
+    for `rfp_steps` unrolled passes; passes are fused with a learned
+    per-pixel sigmoid gate (zero-init -> starts at an even blend).
+    SAC (`ops.deform_conv.SAC`) is available as the backbone conv variant;
+    the ASPP inside the reference's RFP module is a capacity detail not
+    reproduced here.
+    """
+    rfp_steps: int = 2
+
+    def setup(self):
+        super().setup()
+        self.rfp_weight = nn.Conv(1, (1, 1),
+                                  kernel_init=nn.initializers.zeros,
+                                  bias_init=nn.initializers.zeros,
+                                  name="rfp_weight")
+
+    def extract_feat(self, images, train=False, pano_ratio_v=None):
+        feats = self.backbone_m(images, train=train)
+        p = self.neck_m(feats)
+        n_stage = len(feats)
+        for _ in range(self.rfp_steps - 1):
+            feats2 = self.backbone_m(images, train=train,
+                                     rfp_feats=p[:n_stage])
+            p2 = self.neck_m(feats2)
+            fused = []
+            for a, b in zip(p, p2):
+                w = jax.nn.sigmoid(self.rfp_weight(b))
+                fused.append(w * b + (1 - w) * a)
+            p = tuple(fused)
+        return p

@@ -99,7 +99,11 @@ class ResNet(nn.Module):
     norm_eval: bool = True
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, rfp_feats=None):
+        """rfp_feats: optional per-stage feedback maps (DetectoRS RFP,
+        `detectors_resnet.py` rfp_inplanes): stage i's output receives a
+        1x1 conv of rfp_feats[i] (zero-init so the first unrolled step is
+        the plain backbone)."""
         block_cls, depths = ARCH[self.depth]
         bn_train = train and not self.norm_eval
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
@@ -122,6 +126,10 @@ class ResNet(nn.Module):
                               downsample=need_ds, groups=self.groups,
                               base_width=self.base_width,
                               name=f"layer{i + 1}_{j}")(x, train=bn_train)
+            if rfp_feats is not None and rfp_feats[i] is not None:
+                x = x + nn.Conv(x.shape[-1], (1, 1),
+                                kernel_init=nn.initializers.zeros,
+                                name=f"rfp_conv{i + 1}")(rfp_feats[i])
             if self.frozen_stages >= i + 1:
                 x = jax.lax.stop_gradient(x)
             if i in self.out_indices:

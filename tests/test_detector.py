@@ -218,3 +218,33 @@ class TestFastRCNN:
         assert all(np.isfinite(float(x)) for x in out.values())
         res = det.apply(v, imgs, shapes, props, method=det.simple_test)
         assert res.boxes.shape[0] == B
+
+
+class TestDetectoRS:
+    def test_rfp_train_and_test(self, rng):
+        from panoswintransformerobjectdetection_tpu.models import (
+            DETECTORS, build)
+        det = build(DETECTORS, {
+            "type": "DetectoRS", "backbone": _tiny_backbone_cfg(),
+            "neck": {"type": "FPN", "in_channels": (64, 128, 256, 512),
+                     "out_channels": 16, "num_outs": 5},
+            "num_classes": 3, "rfp_steps": 2})
+        B = 2
+        imgs = jnp.asarray(rng.random((B, 64, 64, 3)).astype(np.float32))
+        v = det.init({"params": jax.random.PRNGKey(0),
+                      "sampler": jax.random.PRNGKey(1)}, imgs)
+        # rfp feedback convs + fusion gate exist
+        assert "rfp_conv1" in v["params"]["backbone_m"]
+        assert "rfp_weight" in v["params"]
+        shapes = jnp.full((B, 2), 64.0)
+        gtb = jnp.asarray(np.tile(np.array([[[4, 4, 40, 40]]], np.float32),
+                                  (B, 1, 1)))
+        out, _ = det.apply(v, imgs, shapes, gtb,
+                           jnp.zeros((B, 1), jnp.int32),
+                           jnp.ones((B, 1), bool), method=det.forward_train,
+                           mutable=["batch_stats"],
+                           rngs={"sampler": jax.random.PRNGKey(2)})
+        assert all(np.isfinite(float(x)) for x in out.values())
+        res = det.apply(v, imgs, shapes, jnp.ones((B, 4), jnp.float32),
+                        method=det.simple_test)
+        assert res.boxes.shape == (B, 100, 4)
