@@ -32,6 +32,7 @@ from . import sparse_rcnn  # noqa: F401
 from . import scnet  # noqa: F401
 from . import guided_anchor  # noqa: F401
 from . import sabl  # noqa: F401
+from . import cascade_rpn  # noqa: F401
 from . import reppoints  # noqa: F401
 from . import htc  # noqa: F401
 from . import hrnet  # noqa: F401
