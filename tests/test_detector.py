@@ -248,3 +248,24 @@ class TestDetectoRS:
         res = det.apply(v, imgs, shapes, jnp.ones((B, 4), jnp.float32),
                         method=det.simple_test)
         assert res.boxes.shape == (B, 100, 4)
+
+
+def test_reference_detector_zoo_complete():
+    """Every detector exported by the reference's
+    `mmdet/models/detectors/__init__.py` __all__ has a registered TPU
+    counterpart (BaseDetector/SingleStageDetector are abstract bases; the
+    KD detector maps to the LD-GFL student)."""
+    from panoswintransformerobjectdetection_tpu.models import DETECTORS
+    reference_all = [
+        "ATSS", "RPN", "FastRCNN", "FasterRCNN", "MaskRCNN", "CascadeRCNN",
+        "HybridTaskCascade", "RetinaNet", "FCOS", "GridRCNN",
+        "MaskScoringRCNN", "RepPointsDetector", "FOVEA", "FSAF", "NASFCOS",
+        "PointRend", "GFL", "CornerNet", "PAA", "YOLOV3", "YOLACT", "VFNet",
+        "DETR", "TridentFasterRCNN", "SparseRCNN", "SCNet", "PanoFasterRCNN",
+    ]
+    missing = [n for n in reference_all if n not in DETECTORS]
+    assert not missing, missing
+    # KD single-stage detector -> the LD student; plus extras beyond __all__
+    for extra in ("LDGFL", "SSD", "CentripetalNet", "FreeAnchorRetinaNet",
+                  "GARetinaNet", "SABLRetinaNet", "DetectoRS"):
+        assert extra in DETECTORS, extra
