@@ -234,3 +234,8 @@ def isr_weights(ious, pos_mask, k=2.0, bias=0.0):
     w = (bias + (1 - bias) * (1.0 - rank / n)) ** k
     w = jnp.clip(w, 0.0) * pos_mask
     return w * (n / jnp.maximum(w.sum(), 1e-6))
+
+
+def mse_loss(pred, target, weight=None, avg_factor=None):
+    """`mmdet/models/losses/mse_loss.py`."""
+    return _reduce((pred - target) ** 2, weight, avg_factor)
