@@ -158,6 +158,7 @@ def cascade_rpn_proposals(head_out, img_shapes, *, nms_pre=1000,
     boxes = jnp.stack([x[..., 0], y[..., 0], x[..., 1], y[..., 1]], -1)
     scores = jax.nn.sigmoid(cls)
     k = min(nms_pre, N)
+    max_per_img = min(max_per_img, k)
     top_s, top_i = jax.lax.top_k(scores, k)
     bx = jnp.take_along_axis(boxes, top_i[..., None].repeat(4, -1), 1)
 
@@ -169,3 +170,97 @@ def cascade_rpn_proposals(head_out, img_shapes, *, nms_pre=1000,
                          r.mask)
 
     return jax.vmap(one)(bx, top_s)
+
+
+from typing import Optional  # noqa: E402
+
+from .registry import BACKBONES, NECKS, DETECTORS, build  # noqa: E402
+from .roi_head import (Shared2FCBBoxHead, multilevel_roi_align,  # noqa: E402
+                       sample_rois_for_training, bbox_head_loss,
+                       bbox_head_detections)
+from .detectors import default_train_cfg, default_test_cfg  # noqa: E402
+
+
+@DETECTORS.register
+class CRPNFasterRCNN(nn.Module):
+    """Faster R-CNN with the Cascade RPN proposal stage
+    (`configs/cascade_rpn/crpn_faster_rcnn_*` role)."""
+    backbone: Any
+    num_classes: int = 80
+    neck: Optional[Any] = None
+    rcnn_target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
+    rpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    compute_dtype: Any = None
+
+    def setup(self):
+        self.backbone_m = build(BACKBONES, dict(self.backbone))
+        neck_cfg = dict(self.neck or {"type": "FPN",
+                                      "in_channels": (96, 192, 384, 768),
+                                      "out_channels": 256, "num_outs": 5})
+        self.neck_m = build(NECKS, neck_cfg)
+        self.rpn_m = CascadeRPNHead(
+            feat_channels=neck_cfg.get("out_channels", 256),
+            dtype=self.compute_dtype)
+        self.bbox_head_m = Shared2FCBBoxHead(num_classes=self.num_classes,
+                                             dtype=self.compute_dtype)
+
+    def __call__(self, images, train: bool = False):
+        feats = self.neck_m(self.backbone_m(images, train=train))
+        head_out = self.rpn_m(feats, self.rpn_strides)
+        B = images.shape[0]
+        dummy = jnp.tile(jnp.array([[0.0, 0.0, 0.0, 32.0, 32.0]],
+                                   images.dtype), (B, 1))
+        dummy = dummy.at[:, 0].set(jnp.arange(B, dtype=images.dtype))
+        rf = multilevel_roi_align(feats[:4], dummy,
+                                  strides=self.featmap_strides)
+        return feats, head_out, self.bbox_head_m(rf)
+
+    def forward_train(self, images, img_shapes, gt_boxes, gt_labels,
+                      gt_valid) -> Dict[str, jnp.ndarray]:
+        tc = self.train_cfg or default_train_cfg()
+        feats = self.neck_m(self.backbone_m(images, train=True))
+        head_out = self.rpn_m(feats, self.rpn_strides)
+        losses_out = cascade_rpn_loss(head_out, gt_boxes, gt_valid)
+        props = jax.tree_util.tree_map(
+            jax.lax.stop_gradient,
+            cascade_rpn_proposals(head_out, img_shapes,
+                                  **{k: v for k, v in
+                                     tc["rpn_proposal"].items()
+                                     if k in ("nms_pre", "max_per_img",
+                                              "iou_threshold")}))
+        rng = self.make_rng("sampler")
+        samples = sample_rois_for_training(
+            rng, props.boxes, props.mask, gt_boxes, gt_labels, gt_valid,
+            self.num_classes, target_stds=self.rcnn_target_stds,
+            **tc["rcnn"])
+        B, S, _ = samples.rois.shape
+        rf = multilevel_roi_align(feats[:4], samples.rois.reshape(B * S, 5),
+                                  strides=self.featmap_strides)
+        cls, reg = self.bbox_head_m(rf)
+        losses_out.update(bbox_head_loss(cls, reg, samples,
+                                         self.num_classes))
+        return losses_out
+
+    def simple_test(self, images, img_shapes, scale_factors=None):
+        cfg = self.test_cfg or default_test_cfg()
+        feats = self.neck_m(self.backbone_m(images, train=False))
+        head_out = self.rpn_m(feats, self.rpn_strides)
+        props = cascade_rpn_proposals(
+            head_out, img_shapes,
+            **{k: v for k, v in cfg["rpn"].items()
+               if k in ("nms_pre", "max_per_img", "iou_threshold")})
+        B, P, _ = props.boxes.shape
+        bidx = jnp.broadcast_to(
+            jnp.arange(B, dtype=images.dtype)[:, None], (B, P))
+        rois = jnp.concatenate([bidx[..., None], props.boxes], -1)
+        rf = multilevel_roi_align(feats[:4], rois.reshape(B * P, 5),
+                                  strides=self.featmap_strides)
+        cls, reg = self.bbox_head_m(rf)
+        return bbox_head_detections(
+            cls.reshape(B, P, -1), reg.reshape(B, P, -1), rois, img_shapes,
+            self.num_classes, target_stds=self.rcnn_target_stds,
+            roi_mask=props.mask, scale_factors=scale_factors,
+            **cfg["rcnn"])

@@ -49,3 +49,39 @@ def test_cascade_rpn_loss_and_proposals(rng):
                                   nms_pre=64, max_per_img=32)
     assert props.boxes.shape == (2, 32, 4)
     assert bool(props.mask.any())
+
+
+def test_crpn_faster_rcnn_train_and_test(rng):
+    from panoswintransformerobjectdetection_tpu.models import (
+        DETECTORS, build)
+    det = build(DETECTORS, {
+        "type": "CRPNFasterRCNN",
+        "backbone": {"type": "ResNet", "depth": 18,
+                     "out_indices": (0, 1, 2, 3)},
+        "neck": {"type": "FPN", "in_channels": (64, 128, 256, 512),
+                 "out_channels": 16, "num_outs": 5},
+        "num_classes": 3,
+        "train_cfg": {
+            "rpn": {},
+            "rpn_proposal": {"nms_pre": 128, "max_per_img": 64,
+                             "iou_threshold": 0.7},
+            "rcnn": {"pos_iou_thr": 0.5, "neg_iou_thr": 0.5,
+                     "min_pos_iou": 0.5, "num_samples": 32,
+                     "pos_fraction": 0.25}}})
+    B = 2
+    imgs = jnp.asarray(rng.random((B, 64, 64, 3)).astype(np.float32))
+    v = det.init({"params": jax.random.PRNGKey(0),
+                  "sampler": jax.random.PRNGKey(1)}, imgs)
+    shapes = jnp.full((B, 2), 64.0)
+    gtb = jnp.asarray(np.tile(np.array([[[4, 4, 40, 40]]], np.float32),
+                              (B, 1, 1)))
+    out, _ = det.apply(v, imgs, shapes, gtb, jnp.zeros((B, 1), jnp.int32),
+                       jnp.ones((B, 1), bool), method=det.forward_train,
+                       mutable=["batch_stats"],
+                       rngs={"sampler": jax.random.PRNGKey(2)})
+    for k in ("loss_rpn_reg_s1", "loss_rpn_cls", "loss_rpn_reg_s2",
+              "loss_cls", "loss_bbox"):
+        assert k in out and np.isfinite(float(out[k])), k
+    res = det.apply(v, imgs, shapes, jnp.ones((B, 4), jnp.float32),
+                    method=det.simple_test)
+    assert res.boxes.shape == (B, 100, 4)
