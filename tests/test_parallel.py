@@ -69,3 +69,46 @@ class TestSpatialSharding:
             out = fn(xs)
             np.testing.assert_array_equal(
                 np.asarray(out), np.roll(np.asarray(x), shift, axis=2))
+
+
+def test_single_stage_train_step_on_mesh(rng):
+    """The runtime train-step machinery is detector-agnostic: a single-stage
+    GFL trains on the full 8-device data-parallel mesh."""
+    import jax
+    import jax.numpy as jnp
+    from panoswintransformerobjectdetection_tpu.models import (
+        DETECTORS, build)
+    from panoswintransformerobjectdetection_tpu.parallel import (
+        make_mesh, shard_batch)
+    from panoswintransformerobjectdetection_tpu.runtime import (
+        create_train_state, make_train_step, make_optimizer)
+    from panoswintransformerobjectdetection_tpu.runtime.train import (
+        jit_train_step, place_state)
+
+    det = build(DETECTORS, {
+        "type": "GFL",
+        "backbone": {"type": "ResNet", "depth": 18, "out_indices": (1, 2, 3)},
+        "neck": {"type": "FPN", "in_channels": (128, 256, 512),
+                 "out_channels": 16, "num_outs": 5, "add_extra_convs": True,
+                 "relu_before_extra_convs": True},
+        "num_classes": 3, "reg_max": 8})
+    B = 8
+    sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = det.init(jax.random.PRNGKey(0), sample)["params"]
+    tx = make_optimizer(params, base_lr=1e-4, weight_decay=0.01,
+                        warmup_iters=10, decay_steps=(100,))
+    state = create_train_state(det, jax.random.PRNGKey(0), sample, tx)
+    mesh = make_mesh(jax.devices())
+    state = place_state(mesh, state)
+    step = jit_train_step(make_train_step(det), mesh)
+    batch = shard_batch(mesh, {
+        "images": jnp.asarray(rng.random((B, 64, 64, 3)).astype(np.float32)),
+        "img_shapes": jnp.full((B, 2), 64.0),
+        "gt_boxes": jnp.tile(jnp.asarray([[[4.0, 4, 40, 40]]]), (B, 1, 1)),
+        "gt_labels": jnp.zeros((B, 1), jnp.int32),
+        "gt_valid": jnp.ones((B, 1), bool)})
+    with mesh:
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    assert all(np.isfinite(v) for v in m.values()), m
+    assert int(state.step) == 1
