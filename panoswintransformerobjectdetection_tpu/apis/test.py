@@ -12,34 +12,59 @@ import numpy as np
 
 
 def single_device_test(det, variables, dataset, *, batch_size: int = 1,
-                       max_gt: int = 100,
+                       max_gt: int = 100, with_masks: bool = False,
                        progress: bool = False) -> List[dict]:
-    """Returns per-image dict(boxes, scores, labels) in original coords."""
+    """Returns per-image dict(boxes, scores, labels[, masks]) in original
+    coords.  `with_masks` runs `simple_test_masks` and pastes each
+    detection's RoI mask to the original image size on the host, returning
+    RLE dicts (the reference's `_segm2json` path, `coco.py:235`)."""
     import jax
     import jax.numpy as jnp
     from ..data.loader import DetDataLoader
+    from ..core import rle as rle_utils
+    from ..models.mask_head import paste_masks
 
     loader = DetDataLoader(dataset, batch_size=batch_size, shuffle=False,
                            max_gt=max_gt, drop_last=False)
 
     @jax.jit
     def run(variables, images, img_shapes, scale_factors):
+        if with_masks:
+            return det.apply(variables, images, img_shapes, scale_factors,
+                             method=det.simple_test_masks)
         return det.apply(variables, images, img_shapes, scale_factors,
                          method=det.simple_test)
 
+    paste_jit = jax.jit(paste_masks, static_argnums=(2, 3))
+
     results = []
+    idx = 0
     for bi, batch in enumerate(loader):
         out = run(variables, jnp.asarray(batch["images"]),
                   jnp.asarray(batch["img_shapes"]),
                   jnp.asarray(batch["scale_factors"]))
+        mask_probs = None
+        if with_masks:
+            out, mask_probs = out
         boxes = np.asarray(out.boxes)
         scores = np.asarray(out.scores)
         labels = np.asarray(out.labels)
         mask = np.asarray(out.mask)
         for i in range(boxes.shape[0]):
+            if idx >= len(dataset):
+                break  # loader tail padding
             m = mask[i]
-            results.append({"boxes": boxes[i][m], "scores": scores[i][m],
-                            "labels": labels[i][m]})
+            res = {"boxes": boxes[i][m], "scores": scores[i][m],
+                   "labels": labels[i][m]}
+            if mask_probs is not None:
+                rec = dataset.records[idx]
+                oh, ow = int(rec["height"]), int(rec["width"])
+                bitmaps = np.asarray(paste_jit(
+                    mask_probs[i], jnp.asarray(boxes[i]), oh, ow))
+                res["masks"] = [rle_utils.encode(np.asarray(b) > 0)
+                                for b in bitmaps[m]]
+            results.append(res)
+            idx += 1
         if progress and bi % 50 == 0:
             print(f"eval batch {bi}/{len(loader)}")
     return results

@@ -70,15 +70,36 @@ class CocoStyleDataset:
         for im in coco["images"]:
             anns = anns_by_img.get(im["id"], [])
             boxes, labels = [], []
+            boxes_ignore = []
             polys = []
+            eval_anns = []
             for a in anns:
-                if a.get("iscrowd", 0) or a["category_id"] not in self.cat_id_to_label:
+                if a["category_id"] not in self.cat_id_to_label:
                     continue
                 b = self._ann_to_xyxy(a, im)
+                label = self.cat_id_to_label[a["category_id"]]
+                # evaluation keeps every mapped annotation, crowd and tiny
+                # included (pycocotools loads the raw gt json;
+                # `coco.py:365` evaluates against it unfiltered)
+                if b is not None:
+                    eval_anns.append({
+                        "image_id": im["id"], "category_id": label,
+                        "bbox": [b[0], b[1], b[2] - b[0], b[3] - b[1]],
+                        "area": self._eval_area(a, b),
+                        "iscrowd": a.get("iscrowd", 0),
+                        "ignore": a.get("ignore", 0),
+                        "segmentation": a.get("segmentation"),
+                    })
+                if a.get("iscrowd", 0):
+                    # crowd regions train as ignore boxes
+                    # (`coco.py _parse_ann_info` gt_bboxes_ignore)
+                    if b is not None:
+                        boxes_ignore.append(b)
+                    continue
                 if b is None:
                     continue
                 boxes.append(b)
-                labels.append(self.cat_id_to_label[a["category_id"]])
+                labels.append(label)
                 seg = a.get("segmentation")
                 polys.append(seg if isinstance(seg, list) else None)
             if filter_empty and not boxes:
@@ -90,9 +111,19 @@ class CocoStyleDataset:
                 "height": im["height"],
                 "bboxes": np.asarray(boxes, np.float32).reshape(-1, 4),
                 "labels": np.asarray(labels, np.int64),
+                "bboxes_ignore": np.asarray(boxes_ignore, np.float32).reshape(-1, 4),
                 "polys": polys,
+                "eval_anns": eval_anns,
             })
         return records
+
+    def _eval_area(self, ann, xyxy):
+        """Area used for COCOeval area-range buckets: the annotation's own
+        `area` field when present (segmentation area for COCO), else the
+        parsed box area."""
+        if ann.get("area") is not None:
+            return float(ann["area"])
+        return float((xyxy[2] - xyxy[0]) * (xyxy[3] - xyxy[1]))
 
     def _ann_to_xyxy(self, ann, img_info):
         x, y, w, h = ann["bbox"]
@@ -118,10 +149,84 @@ class CocoStyleDataset:
 
     __getitem__ = get_sample
 
-    def evaluate(self, detections: List[dict], iou_thrs=None,
-                 classwise: bool = False) -> Dict[str, float]:
-        """detections: per image dict(boxes (K,4), scores (K,), labels (K,))
-        in original image coordinates."""
+    def det2anns(self, detections: List[dict]):
+        """Per-image result dicts -> flat COCO-format dt annotation list.
+
+        detections[i]: dict(boxes (K, 4) xyxy, scores (K,), labels (K,),
+        optional mask (K,) validity, optional masks — (K, H, W) binary
+        bitmaps or a list of RLE dicts) in original image coordinates.
+        Mirrors `_det2json`/`_segm2json`
+        (`/root/reference/mmdet/datasets/coco.py:205-260`).
+        """
+        from ..core import rle as rle_utils
+        dt_anns = []
+        for rec, det in zip(self.records, detections):
+            boxes = np.asarray(det["boxes"], np.float32).reshape(-1, 4)
+            scores = np.asarray(det["scores"], np.float32)
+            labels = np.asarray(det["labels"])
+            masks = det.get("masks")
+            valid = det.get("mask")
+            keep = np.ones(len(boxes), bool) if valid is None \
+                else np.asarray(valid, bool)
+            for i in np.nonzero(keep)[0]:
+                x1, y1, x2, y2 = boxes[i]
+                ann = {"image_id": rec["id"], "category_id": int(labels[i]),
+                       "bbox": [float(x1), float(y1),
+                                float(x2 - x1), float(y2 - y1)],
+                       "score": float(scores[i])}
+                if masks is not None:
+                    m = masks[i]
+                    ann["segmentation"] = m if isinstance(m, dict) \
+                        else rle_utils.encode(np.asarray(m) > 0.5)
+                dt_anns.append(ann)
+        return dt_anns
+
+    def evaluate(self, detections: List[dict], metric="bbox",
+                 classwise: bool = False, proposal_nums=(100, 300, 1000),
+                 **legacy) -> Dict[str, float]:
+        """COCOeval-exact evaluation (`coco.py:365-478` `evaluate`).
+
+        metric: 'bbox' | 'segm' | 'proposal' or a list of these.
+        detections: see `det2anns`.  Returns mmdet-named keys
+        (`bbox_mAP`, `bbox_mAP_50`, ..., `segm_mAP`, `AR@100`, ...).
+        """
+        from ..core.cocoeval import COCOEvaluator
+        metrics = [metric] if isinstance(metric, str) else list(metric)
+        gt_anns = [a for r in self.records for a in r["eval_anns"]]
+        img_ids = [r["id"] for r in self.records]
+        img_shapes = {r["id"]: (r["height"], r["width"]) for r in self.records}
+        cat_ids = list(range(len(self.CLASSES)))
+        dt_anns = self.det2anns(detections)
+        out: Dict[str, float] = {}
+        for met in metrics:
+            if met == "proposal":
+                ev = COCOEvaluator(gt_anns, dt_anns, img_ids, cat_ids,
+                                   "proposal", max_dets=sorted(proposal_nums),
+                                   img_shapes=img_shapes)
+                stats = ev.evaluate().summarize()
+                for d in sorted(proposal_nums):
+                    out[f"AR@{d}"] = stats[f"AR@{d}"]
+                continue
+            if met == "segm" and not any("segmentation" in a for a in dt_anns):
+                raise ValueError("segm metric requested but detections carry "
+                                 "no masks (pass det['masks'])")
+            ev = COCOEvaluator(gt_anns, dt_anns, img_ids, cat_ids, met,
+                               img_shapes=img_shapes)
+            stats = ev.evaluate().summarize()
+            for key in ("mAP", "mAP_50", "mAP_75", "mAP_s", "mAP_m", "mAP_l"):
+                out[f"{met}_{key}"] = stats[key]
+            for d in (1, 10, 100):
+                out[f"{met}_AR@{d}"] = stats[f"AR@{d}"]
+            if classwise:
+                per_cat = ev.per_category_ap()
+                for c, ap in per_cat.items():
+                    out[f"{met}_AP_{self.CLASSES[c]}"] = ap
+        return out
+
+    def evaluate_fast(self, detections: List[dict], iou_thrs=None,
+                      classwise: bool = False) -> Dict[str, float]:
+        """Legacy quick bbox mAP (no crowd/area handling); kept for
+        cheap in-loop eval where exactness doesn't matter."""
         gts = [{"bboxes": r["bboxes"], "labels": r["labels"]} for r in self.records]
         return eval_map_coco(detections, gts, num_classes=len(self.CLASSES),
                              iou_thrs=iou_thrs, classwise=classwise,
@@ -156,6 +261,11 @@ class Indoor360Dataset(CocoStyleDataset):
                 img_info["width"], img_info["height"]))[0]
             return xyxy.tolist()
         return super()._ann_to_xyxy(ann, img_info)
+
+    def _eval_area(self, ann, xyxy):
+        # the raw `area` field is in BFoV (radian) units; area-range
+        # buckets need pixel area of the converted equirect box
+        return float((xyxy[2] - xyxy[0]) * (xyxy[3] - xyxy[1]))
 
 
 VOC_CLASSES = (

@@ -37,6 +37,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint8)]
+        lib.match_image.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
     except Exception:
         _lib = None
@@ -59,3 +64,30 @@ def native_match_class(det_boxes, gt_boxes, iou_thr):
         ctypes.c_float(float(iou_thr)),
         tp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return tp.astype(bool)
+
+
+def native_match_image(iou_thrs, ious, gt_ignore, iscrowd):
+    """COCOeval-exact matcher (crowd-aware, per threshold) for one
+    (image, category).  ious (D, G) row-major, gt columns sorted
+    non-ignored-first.  Returns (dtm (T, D) int64 gt index or -1,
+    dt_ig (T, D) bool), or None if the native lib is unavailable."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    thrs = np.ascontiguousarray(iou_thrs, np.float64)
+    iou = np.ascontiguousarray(ious, np.float64)
+    D, G = iou.shape
+    T = len(thrs)
+    gt_ig = np.ascontiguousarray(gt_ignore, np.uint8)
+    crowd = np.ascontiguousarray(iscrowd, np.uint8)
+    dtm = np.empty((T, D), np.int64)
+    dt_ig = np.empty((T, D), np.uint8)
+    lib.match_image(
+        thrs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), T,
+        iou.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), D, G,
+        gt_ig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        crowd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        dtm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dt_ig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return dtm, dt_ig.astype(bool)

@@ -55,4 +55,44 @@ void match_class_multi_thr(const float* det, int32_t D, const float* gt,
         match_class(det, D, gt, G, thrs[t], tp + (int64_t)t * D);
 }
 
+// COCOeval-exact greedy matcher for one (image, category), crowd-aware.
+// Mirrors pycocotools COCOeval.evaluateImg matching semantics
+// (the protocol behind /root/reference/mmdet/datasets/coco.py:365):
+//   * detections iterate in score order (rows of `ious`);
+//   * a matched non-crowd gt leaves the pool; crowd gt can rematch;
+//   * once a det holds a non-ignored match, ignored gts (sorted last)
+//     cannot displace it;
+//   * ties resolve to the *last* gt whose IoU >= the running best.
+// ious: D x G (row-major), gt columns sorted non-ignored-first.
+// Outputs: dtm (T x D) matched gt column index or -1; dt_ig (T x D).
+void match_image(const double* thrs, int32_t T, const double* ious,
+                 int32_t D, int32_t G, const uint8_t* gt_ig,
+                 const uint8_t* iscrowd, int64_t* dtm, uint8_t* dt_ig) {
+    int64_t* gtm = new int64_t[(int64_t)T * G];
+    for (int64_t i = 0; i < (int64_t)T * G; ++i) gtm[i] = -1;
+    for (int64_t i = 0; i < (int64_t)T * D; ++i) { dtm[i] = -1; dt_ig[i] = 0; }
+
+    for (int32_t t = 0; t < T; ++t) {
+        double thr = thrs[t] < 1.0 - 1e-10 ? thrs[t] : 1.0 - 1e-10;
+        int64_t* gtm_t = gtm + (int64_t)t * G;
+        for (int32_t d = 0; d < D; ++d) {
+            double best = thr;
+            int32_t m = -1;
+            const double* row = ious + (int64_t)d * G;
+            for (int32_t g = 0; g < G; ++g) {
+                if (gtm_t[g] >= 0 && !iscrowd[g]) continue;
+                if (m > -1 && !gt_ig[m] && gt_ig[g]) break;
+                if (row[g] < best) continue;
+                best = row[g];
+                m = g;
+            }
+            if (m == -1) continue;
+            dt_ig[(int64_t)t * D + d] = gt_ig[m];
+            dtm[(int64_t)t * D + d] = m;
+            gtm_t[m] = d;
+        }
+    }
+    delete[] gtm;
+}
+
 }  // extern "C"

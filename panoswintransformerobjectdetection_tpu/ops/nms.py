@@ -110,9 +110,19 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     keep = jnp.logical_not(sup) & (s > NEG_INF / 2)
 
     rank_score = jnp.where(keep, s, NEG_INF)
-    _, top = jax.lax.top_k(rank_score, max_out)
+    k = min(max_out, N)  # fewer candidates than requested -> pad below
+    _, top = jax.lax.top_k(rank_score, k)
     mask = keep[top]
-    return NMSResult(b[top], jnp.where(mask, s[top], NEG_INF), order[top], mask)
+    res = NMSResult(b[top], jnp.where(mask, s[top], NEG_INF), order[top], mask)
+    if k < max_out:
+        pad = max_out - k
+        res = NMSResult(
+            jnp.concatenate([res.boxes, jnp.zeros((pad, 4), res.boxes.dtype)]),
+            jnp.concatenate([res.scores, jnp.full((pad,), NEG_INF,
+                                                  res.scores.dtype)]),
+            jnp.concatenate([res.idx, jnp.zeros((pad,), res.idx.dtype)]),
+            jnp.concatenate([res.mask, jnp.zeros((pad,), bool)]))
+    return res
 
 
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, idxs: jnp.ndarray,
