@@ -91,3 +91,54 @@ def grid_sample(img_bchw: jnp.ndarray, grid: jnp.ndarray,
     img = jnp.moveaxis(img_bchw, 1, -1)
     out = grid_sample_nhwc(img, grid, padding_mode, align_corners)
     return jnp.moveaxis(out, -1, 1)
+
+
+# --------------------------------------------------------------- bicubic
+def _torch_cubic_weights(out_size: int, in_size: int,
+                         align_corners: bool = False):
+    """Per-output-row weights over input rows for torch's bicubic kernel
+    (cubic convolution, A = -0.75; `F.interpolate(mode='bicubic')`).
+    Returns a dense (out_size, in_size) numpy matrix; border taps clamp and
+    accumulate, exactly like the aten CPU/CUDA kernels."""
+    import numpy as np
+    A = -0.75
+
+    def k(t):
+        t = np.abs(t)
+        return np.where(
+            t <= 1, ((A + 2) * t - (A + 3)) * t * t + 1,
+            np.where(t < 2, A * (((t - 5) * t + 8) * t - 4), 0.0))
+
+    i = np.arange(out_size, dtype=np.float64)
+    if align_corners and out_size > 1:
+        src = i * (in_size - 1) / (out_size - 1)
+    else:
+        src = (i + 0.5) * in_size / out_size - 0.5
+    f = np.floor(src)
+    frac = src - f
+    W = np.zeros((out_size, in_size), np.float64)
+    for tap in (-1, 0, 1, 2):
+        w = k(frac - tap)
+        idx = np.clip(f.astype(np.int64) + tap, 0, in_size - 1)
+        np.add.at(W, (np.arange(out_size), idx), w)
+    return W
+
+
+def interpolate_bicubic(img: jnp.ndarray, out_h: int, out_w: int,
+                        align_corners: bool = False) -> jnp.ndarray:
+    """torch-exact `F.interpolate(mode='bicubic')` on NHWC images, as two
+    dense matmuls (separable kernel) — MXU-friendly and bit-matching the
+    reference's ape/bias-table resizing (`swin_transformer.py` ape path,
+    `mmcv_custom/checkpoint.py:336-352`)."""
+    import numpy as np
+    B, H, W, C = img.shape
+    if (H, W) == (out_h, out_w):
+        return img
+    wh = jnp.asarray(_torch_cubic_weights(out_h, H, align_corners),
+                     img.dtype)
+    ww = jnp.asarray(_torch_cubic_weights(out_w, W, align_corners),
+                     img.dtype)
+    # rows then cols; highest precision so parity holds under TPU bf16
+    # matmul defaults (the weights span 4 taps — error would be ~5e-3)
+    x = jnp.einsum("oh,bhwc->bowc", wh, img, precision="highest")
+    return jnp.einsum("ow,bhwc->bhoc", ww, x, precision="highest")

@@ -135,8 +135,10 @@ class SwinTransformer(nn.Module):
         if self.ape:
             ps = self.pretrain_img_size // self.patch_size
             ape = self.param("absolute_pos_embed", trunc_init, (1, ps, ps, C))
-            ape_r = jax.image.resize(ape, (1, H, W, C), method="bicubic")
-            x = x + ape_r
+            # torch-exact bicubic (A=-0.75): the reference interpolates the
+            # pretrain-resolution table at forward (`swin_transformer.py:449`)
+            from ..geometry.resample import interpolate_bicubic
+            x = x + interpolate_bicubic(ape, H, W).astype(x.dtype)
 
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
         outs = []

@@ -11,6 +11,7 @@ and channel-first fc flattening -> channel-last.
 """
 
 import math
+import os
 import re
 from typing import Any, Dict, Optional, Tuple
 
@@ -84,10 +85,14 @@ def resize_bias_table(table: np.ndarray, src_ws: int, dst_ws: int) -> np.ndarray
     t, h = table.shape
     s = 2 * src_ws - 1
     d = 2 * dst_ws - 1
-    import jax
-    img = table.reshape(1, s, s, h)
-    out = jax.image.resize(img, (1, d, d, h), method="bicubic")
-    return np.asarray(out).reshape(d * d, h)
+    from ..geometry.resample import _torch_cubic_weights
+    # torch-exact bicubic, host-side (matches F.interpolate in
+    # `mmcv_custom/checkpoint.py:336-352`)
+    img = np.asarray(table, np.float64).reshape(s, s, h)
+    wh = _torch_cubic_weights(d, s)
+    out = np.einsum("oh,hwc->owc", wh, img)
+    out = np.einsum("ow,hwc->hoc", wh, out)
+    return out.reshape(d * d, h).astype(np.asarray(table).dtype)
 
 
 def convert_panoswin_backbone(sd: Dict[str, Any], depths, window_size: int = 7,
@@ -261,8 +266,52 @@ def convert_detector(sd: Dict[str, Any], depths, window_size: int = 7,
     return params, stats
 
 
+# torchvision:// names the reference loader resolves through the
+# torchvision model zoo (`mmcv_custom/checkpoint.py:240-300` multi-source
+# dispatch: file / http(s) / torchvision / pavi / s3).
+TORCHVISION_URLS = {
+    "resnet18": "https://download.pytorch.org/models/resnet18-f37072fd.pth",
+    "resnet50": "https://download.pytorch.org/models/resnet50-0676ba61.pth",
+    "resnet101": "https://download.pytorch.org/models/resnet101-63fe2227.pth",
+    "resnext101_32x8d":
+        "https://download.pytorch.org/models/resnext101_32x8d-8ba56ff5.pth",
+}
+
+
+def _cache_dir() -> str:
+    d = os.environ.get("TORCH_HOME") or os.path.expanduser("~/.cache/torch")
+    d = os.path.join(d, "checkpoints")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def resolve_checkpoint(path: str) -> str:
+    """Multi-source checkpoint resolution
+    (`mmcv_custom/checkpoint.py:240-300`): plain file paths pass through;
+    `torchvision://<name>` maps to the model-zoo URL; `http(s)://` URLs
+    download once into the torch cache dir and return the local path."""
+    if path.startswith("torchvision://"):
+        name = path[len("torchvision://"):]
+        if name not in TORCHVISION_URLS:
+            raise KeyError(f"unknown torchvision model {name!r}; known: "
+                           f"{sorted(TORCHVISION_URLS)}")
+        path = TORCHVISION_URLS[name]
+    if path.startswith(("http://", "https://")):
+        import urllib.request
+        local = os.path.join(_cache_dir(), os.path.basename(path))
+        if not os.path.exists(local):
+            tmp = local + ".part"
+            urllib.request.urlretrieve(path, tmp)
+            os.replace(tmp, local)
+        return local
+    return path
+
+
 def load_torch_state_dict(path: str) -> Dict[str, Any]:
+    """Load a torch checkpoint from a file path, URL, or torchvision://
+    source and return its state_dict."""
     import torch
+    path = resolve_checkpoint(path)
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         return ckpt["state_dict"]

@@ -42,8 +42,7 @@ class TestSwinParity:
             o = np.moveaxis(np.asarray(o), -1, 1)
             assert r.shape == o.shape
             err = np.abs(r - o).max()
-            tol = 2e-4 if not ape else 2e-2   # ape upsample interp differs
-            assert err < tol, f"swin parity err {err} (ape={ape})"
+            assert err < 2e-4, f"swin parity err {err} (ape={ape})"
 
     def test_odd_input_sizes(self, rng):
         import torch
