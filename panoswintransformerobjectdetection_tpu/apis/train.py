@@ -34,18 +34,30 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
     from ..runtime.train import jit_train_step, place_state
     from ..runtime.checkpoint import save_checkpoint, load_checkpoint
 
+    # multi-host layout (DDP + DistributedGroupSampler semantics,
+    # `mmdet/apis/train.py:94-100`, `datasets/builder.py:75`): the mesh
+    # spans the GLOBAL device set, every host feeds its own dataset shard,
+    # and only process 0 writes logs/checkpoints.
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    is_main = pid == 0
+
     os.makedirs(work_dir, exist_ok=True)
-    fh = logging.FileHandler(os.path.join(work_dir, "train.log"))
-    fh.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
-    logger.addHandler(fh)
-    logger.setLevel(logging.INFO)
-    json_log = open(os.path.join(work_dir, "train.log.json"), "a")
+    if is_main:
+        fh = logging.FileHandler(os.path.join(work_dir, "train.log"))
+        fh.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
+        logger.addHandler(fh)
+        logger.setLevel(logging.INFO)
+        json_log = open(os.path.join(work_dir, "train.log.json"), "a")
 
     # use as many devices as divide the global batch
     devices = jax.devices()
     n_use = max(d for d in range(1, len(devices) + 1) if batch_size % d == 0)
     mesh = make_mesh(devices[:n_use])
-    loader = DetDataLoader(dataset, batch_size=batch_size, max_gt=max_gt, seed=seed)
+    assert batch_size % nproc == 0, (batch_size, nproc)
+    loader = DetDataLoader(dataset, batch_size=batch_size // nproc,
+                           max_gt=max_gt, seed=seed,
+                           num_shards=nproc, shard_id=pid)
     steps_per_epoch = max(len(loader), 1)
     decay_steps = tuple(int(e * steps_per_epoch) for e in decay_epochs)
 
@@ -92,7 +104,7 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
                         h.after_iter(ctx)
                     for line in ctx.pop("logs", []):
                         logger.info(line)
-                if (i + 1) % log_interval == 0:
+                if (i + 1) % log_interval == 0 and is_main:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     m.update(epoch=epoch + 1, iter=i + 1,
                              time=round((time.time() - t0) / (i + 1), 3))
@@ -102,7 +114,7 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
                                          if isinstance(v, float)))
                     json_log.write(json.dumps(m) + "\n")
                     json_log.flush()
-            if (epoch + 1) % checkpoint_interval == 0:
+            if (epoch + 1) % checkpoint_interval == 0 and is_main:
                 path = os.path.join(work_dir, f"epoch_{epoch + 1}")
                 save_checkpoint(os.path.abspath(path), state)
                 latest = os.path.join(work_dir, "latest")
@@ -112,9 +124,10 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
                     os.symlink(os.path.abspath(path), latest)
             if eval_fn is not None:
                 metrics = eval_fn(state)
-                logger.info("Eval epoch %d: %s", epoch + 1, metrics)
-                json_log.write(json.dumps({"epoch": epoch + 1, **metrics}) + "\n")
-                json_log.flush()
+                if is_main and metrics is not None:
+                    logger.info("Eval epoch %d: %s", epoch + 1, metrics)
+                    json_log.write(json.dumps({"epoch": epoch + 1, **metrics}) + "\n")
+                    json_log.flush()
             for h in hooks:
                 h.after_epoch(ctx)
     for h in hooks:

@@ -34,7 +34,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of host arrays with dim-0 batch sharding."""
+    """Place a pytree of host arrays with dim-0 batch sharding.
+
+    Single-host: a plain device_put with NamedSharding.  Multi-host: each
+    process holds only its LOCAL shard (dim 0 = global_batch / n_processes,
+    fed by its DetDataLoader shard), and the pieces are assembled into one
+    global array (`make_array_from_process_local_data` — the jax.distributed
+    analogue of DistributedGroupSampler + DDP local batches,
+    `mmdet/datasets/builder.py:75`)."""
+    multihost = jax.process_count() > 1
+
     def put(x):
-        return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+        sharding = data_sharding(mesh, np.ndim(x))
+        if multihost:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
     return jax.tree_util.tree_map(put, batch)
