@@ -1,7 +1,15 @@
 #!/usr/bin/env python
-"""Evaluate a checkpoint (reference `tools/test.py` analogue).
+"""Evaluate a checkpoint (reference `tools/test.py:113` analogue).
 
-    python tools/test.py <config> <checkpoint> --eval bbox
+    python tools/test.py <config> <checkpoint> --eval bbox segm
+    python tools/test.py <config> <checkpoint> --eval bbox --tta
+
+`--eval` selects the metrics routed through the COCOeval-exact evaluator
+(`core/cocoeval.py`): bbox / segm / proposal.  `--tta` runs the
+MultiScaleFlipAug-style test-time augmentation (`apis/tta.py`, matching
+`mmdet/datasets/pipelines/test_time_aug.py:9` + `aug_test`).  Under
+`jax.distributed` (process_count > 1) the eval shards images across hosts
+and host 0 reports (`multi_gpu_test` role).
 """
 
 import argparse
@@ -12,19 +20,25 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("config")
     p.add_argument("checkpoint", nargs="?", default=None)
-    p.add_argument("--eval", nargs="*", default=["bbox"])
+    p.add_argument("--eval", nargs="*", default=["bbox"],
+                   choices=["bbox", "segm", "proposal"])
+    p.add_argument("--tta", action="store_true",
+                   help="multi-scale + flip test-time augmentation")
+    p.add_argument("--classwise", action="store_true")
     p.add_argument("--out", default=None)
     p.add_argument("--batch-size", type=int, default=1)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
+    import jax
     from panoswintransformerobjectdetection_tpu.runtime.config import load_config
     from panoswintransformerobjectdetection_tpu.apis.inference import (
         init_detector)
-    from panoswintransformerobjectdetection_tpu.apis.test import single_device_test
+    from panoswintransformerobjectdetection_tpu.apis.test import (
+        single_device_test, multi_host_test)
     from panoswintransformerobjectdetection_tpu.data.builder import build_dataset
 
     cfg = load_config(args.config)
@@ -32,14 +46,44 @@ def main():
         cfg["data"]["test"]["classes"] = cfg["classes"]
     det, variables = init_detector(cfg, args.checkpoint)
     dataset = build_dataset(cfg["data"]["test"])
-    results = single_device_test(det, variables, dataset,
-                                 batch_size=args.batch_size, progress=True)
-    metrics = dataset.evaluate(results)
+    with_masks = "segm" in args.eval
+
+    if args.tta:
+        from panoswintransformerobjectdetection_tpu.apis.tta import (
+            aug_test_detector)
+        from panoswintransformerobjectdetection_tpu.data.transforms import (
+            LoadImageFromFile)
+        assert not with_masks, "--tta supports bbox eval only"
+        loader = LoadImageFromFile()
+        tta_cfg = cfg.get("tta", {})
+        results = []
+        for i in range(len(dataset)):
+            rec = dataset.records[i]
+            r = loader({"img_path": os.path.join(dataset.img_prefix,
+                                                 rec["filename"]),
+                        "img_info": rec})
+            results.append(aug_test_detector(
+                det, variables, r["img"],
+                scales=tuple(tta_cfg.get("scales", ((800, 1333),))),
+                flip=tta_cfg.get("flip", True)))
+    elif jax.process_count() > 1:
+        results = multi_host_test(det, variables, dataset,
+                                  batch_size=args.batch_size)
+        if results is None:  # non-zero host
+            return
+    else:
+        results = single_device_test(det, variables, dataset,
+                                     batch_size=args.batch_size,
+                                     with_masks=with_masks, progress=True)
+
+    metrics = dataset.evaluate(results, metric=args.eval,
+                               classwise=args.classwise)
     print(json.dumps(metrics, indent=2))
     if args.out:
         import pickle
         with open(args.out, "wb") as f:
             pickle.dump(results, f)
+    return metrics
 
 
 if __name__ == "__main__":
