@@ -1,0 +1,3 @@
+# fsaf_r101_fpn_1x_coco (reference configs/fsaf/).
+_base_ = ["fsaf_r50_fpn_1x_coco.py"]
+model = dict(backbone=dict(depth=101))

@@ -1,0 +1,3 @@
+# paa_r101_fpn_1x_coco (reference configs/paa/).
+_base_ = ["paa_r50_fpn_1x_coco.py"]
+model = dict(backbone=dict(depth=101))

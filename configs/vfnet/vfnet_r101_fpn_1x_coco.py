@@ -1,0 +1,3 @@
+# vfnet_r101_fpn_1x_coco (reference configs/vfnet/).
+_base_ = ["vfnet_r50_fpn_1x_coco.py"]
+model = dict(backbone=dict(depth=101))
