@@ -7,10 +7,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 
 def timeit(fn, *args, iters=10, warmup=2):
@@ -31,10 +35,17 @@ def main():
         multilevel_roi_align, bbox_head_detections)
 
     B, H, W = 4, 512, 1024
-    det = _flagship()
+    # match bench.py: bf16 compute + fused inference BN
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    det0 = _flagship(compute_dtype=dtype)
     rng = jax.random.PRNGKey(0)
     images = jnp.asarray(np.random.default_rng(0).random((B, H, W, 3)), jnp.float32)
-    variables = det.init(rng, images[:1])
+    variables = det0.init(rng, images[:1])
+    from panoswintransformerobjectdetection_tpu.runtime.checkpoint import (
+        fold_batchnorm)
+    fp, fbs = fold_batchnorm(variables["params"], variables["batch_stats"])
+    variables = {"params": fp, "batch_stats": fbs}
+    det = _flagship(compute_dtype=dtype, fuse_bn=True)
     shapes = jnp.tile(jnp.array([[H, W]], jnp.float32), (B, 1))
 
     backbone = jax.jit(lambda im: det.apply(
