@@ -27,6 +27,18 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
+def hard_sync(tree):
+    """Force device execution to complete by fetching ONE SCALAR of one
+    output leaf to the host.  `jax.block_until_ready` returns immediately
+    through the axon TPU tunnel (measured: 0.3 ms reported vs 308 s
+    actual), so timings sync with a device->host copy — and it must be a
+    scalar slice, because the tunnel's device->host path is ~70 MB/s and a
+    full-tensor fetch would dominate the measurement."""
+    import jax
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -55,7 +67,8 @@ def main():
                                method=det_infer.simple_test)
 
     # warmup / compile
-    jax.block_until_ready(run(images))
+    hard_sync(run(images))
+    hard_sync(run(images))
 
     # steady-state average (reference protocol: long timed loop, network +
     # post only); 50 iters x B=4 = 200 images
@@ -63,7 +76,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run(images)
-    jax.block_until_ready(out)
+    hard_sync(out)
     dt = time.perf_counter() - t0
     ips = B * iters / dt
 
@@ -91,12 +104,12 @@ def main():
         step = jax.jit(make_train_step(det), donate_argnums=(0,))
         key = jax.random.PRNGKey(1)
         state, m = step(state, batch, key)
-        jax.block_until_ready(m["loss"])
+        hard_sync(m["loss"])
         it = 10
         t0 = time.perf_counter()
         for _ in range(it):
             state, m = step(state, batch, key)
-        jax.block_until_ready(m["loss"])
+        hard_sync(m["loss"])
         train_ips = Bt * it / (time.perf_counter() - t0)
 
     baseline_fps = 16.1  # Mask R-CNN R50-FPN V100 (configs/mask_rcnn/README.md:23)

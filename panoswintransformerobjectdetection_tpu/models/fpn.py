@@ -11,6 +11,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from .layers import resolve_dtype
@@ -18,11 +19,25 @@ from .registry import NECKS
 
 
 def nearest_upsample(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """(B, h, w, C) -> (B, out_h, out_w, C), torch-nearest index mapping."""
+    """(B, h, w, C) -> (B, out_h, out_w, C), torch-nearest index mapping.
+
+    Exact integer scale (every FPN top-down step) is a broadcast+reshape —
+    a pure layout op.  The general case uses one-hot matmuls instead of a
+    gather: XLA lowers big gathers to a serial scalar loop on this TPU
+    backend (measured ~30 MB/s), while 0/1 selection matrices run on the
+    MXU.  Both reproduce `F.interpolate(mode='nearest')` exactly."""
     B, h, w, C = x.shape
-    iy = (jnp.arange(out_h) * h) // out_h
-    ix = (jnp.arange(out_w) * w) // out_w
-    return x[:, iy][:, :, ix]
+    if out_h % h == 0 and out_w % w == 0:
+        ry, rx = out_h // h, out_w // w
+        x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (B, h, ry, w, rx, C))
+        return x.reshape(B, out_h, out_w, C)
+    iy = (np.arange(out_h) * h) // out_h
+    ix = (np.arange(out_w) * w) // out_w
+    Py = jnp.asarray(np.eye(h, dtype=np.float32)[iy], x.dtype)   # (out_h, h)
+    Px = jnp.asarray(np.eye(w, dtype=np.float32)[ix], x.dtype)   # (out_w, w)
+    x = jnp.einsum("oh,bhwc->bowc", Py, x)
+    return jnp.einsum("ow,bhwc->bhoc", Px, x)
 
 
 def max_pool_s2(x: jnp.ndarray) -> jnp.ndarray:

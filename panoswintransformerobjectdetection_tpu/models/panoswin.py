@@ -36,6 +36,7 @@ from ..geometry.resample import grid_sample_nhwc
 from ..ops.windows import (
     window_partition, window_reverse, make_relative_position_index,
     swin_attention_mask, window_transition, window_transition_reverse,
+    table_lookup,
 )
 from .layers import (
     Mlp, DropPath, ConvStemPatchEmbed, PatchMerging, layer_norm, trunc_init,
@@ -54,10 +55,10 @@ def sphere_bias(alpha_table, beta_table, rel_index, uv1, uv2, pano_mode):
     alpha/beta_table: (T, heads); rel_index: (O, O) static; uv*: (n, O, 2).
     Returns (n, heads, O, O) (or (1, heads, O, O) in planar mode).
     """
-    beta = beta_table[rel_index]                      # (O, O, heads)
+    beta = table_lookup(beta_table, rel_index)        # (O, O, heads)
     if pano_mode:
         hav = haversine(uv1, uv2)                     # (n, O, O)
-        alpha = alpha_table[rel_index]                # (O, O, heads)
+        alpha = table_lookup(alpha_table, rel_index)  # (O, O, heads)
         bias = hav[..., None] * alpha[None] + beta[None]
         return bias.transpose(0, 3, 1, 2)
     return beta.transpose(2, 0, 1)[None]

@@ -39,7 +39,7 @@ import flax.linen as nn
 from ..geometry.sphere import haversine
 from ..ops.windows import (
     window_partition, window_reverse, make_relative_position_index,
-    swin_attention_mask,
+    swin_attention_mask, table_lookup,
 )
 from ..geometry.axis import ew2ns, ns2we
 from .layers import Mlp, DropPath, layer_norm, trunc_init, resolve_dtype
@@ -124,9 +124,9 @@ class WindowAttentionV2(nn.Module):
         right = uvr[:, uvr.shape[1] // 2, 2]          # (n,)
         hav = haversine(uv, uv)                        # (n, O, O)
         outs = []
-        for idx in (self.rel_index, self.rel_index.T):
-            a = self.alpha_table[idx]                  # (O, O, h)
-            b = self.beta_table[idx]
+        for idx in (self.rel_index, np.ascontiguousarray(self.rel_index.T)):
+            a = table_lookup(self.alpha_table, idx)    # (O, O, h)
+            b = table_lookup(self.beta_table, idx)
             outs.append(hav[..., None] * a[None] * b[None])
         blend = right[:, None, None, None] * outs[0] + \
             (1 - right[:, None, None, None]) * outs[1]  # (n, Oq, Ok, h)
@@ -144,7 +144,8 @@ class WindowAttentionV2(nn.Module):
         attn = jnp.einsum("nhqd,nhkd->nhqk", q * scale, k,
                           preferred_element_type=jnp.float32)
         if uvr_windows is None:
-            rel = self.relative_position_bias_table[self.rel_index]
+            rel = table_lookup(self.relative_position_bias_table,
+                               self.rel_index)
             attn = attn + rel.transpose(2, 0, 1)[None].astype(attn.dtype)
         else:
             attn = attn + self._sphere_bias(uvr_windows).astype(attn.dtype)

@@ -16,7 +16,7 @@ import flax.linen as nn
 
 from ..ops.windows import (
     window_partition, window_reverse, make_relative_position_index,
-    swin_attention_mask,
+    swin_attention_mask, table_lookup,
 )
 from .layers import (Mlp, DropPath, SingleConvPatchEmbed, PatchMerging,
                      layer_norm, trunc_init, resolve_dtype)
@@ -46,7 +46,7 @@ class SwinWindowAttention(nn.Module):
         t = (2 * self.window_size - 1) ** 2
         table = self.param("relative_position_bias_table", trunc_init, (t, h))
         rel_index = make_relative_position_index(self.window_size)
-        bias = table[rel_index].transpose(2, 0, 1)[None]      # (1, h, O, O)
+        bias = table_lookup(table, rel_index).transpose(2, 0, 1)[None]  # (1, h, O, O)
 
         attn = jnp.einsum("nhqd,nhkd->nhqk", q * scale, k,
                           preferred_element_type=jnp.float32)

@@ -115,3 +115,28 @@ def window_transition_reverse(x: jnp.ndarray, shift_size: int, pano_mode: bool,
         x = x[..., :, :-1, :]
     x = jnp.roll(x, shift=-shift_size, axis=-2)
     return x
+
+
+_SEL_CACHE = {}
+
+
+def table_lookup(table: jnp.ndarray, rel_index: np.ndarray) -> jnp.ndarray:
+    """`table[rel_index]` for a STATIC integer index array, computed as a
+    constant one-hot matmul instead of a gather.
+
+    XLA lowers even small parameter-table gathers to a serial scalar loop
+    on the TPU backend (~70 ns/element); the equivalent 0/1 selection
+    matrix is folded to a tiny MXU GEMM.  precision='highest' keeps the
+    selection exact (each output row is one table row).  Returns
+    rel_index.shape + table.shape[1:].
+    """
+    T = table.shape[0]
+    key = (rel_index.shape, rel_index.tobytes(), T)
+    sel = _SEL_CACHE.get(key)
+    if sel is None:
+        sel = np.zeros((rel_index.size, T), np.float32)
+        sel[np.arange(rel_index.size), rel_index.reshape(-1)] = 1.0
+        _SEL_CACHE[key] = sel
+    out = jnp.einsum("ot,t...->o...", jnp.asarray(sel, table.dtype), table,
+                     precision="highest")
+    return out.reshape(rel_index.shape + table.shape[1:])

@@ -17,14 +17,22 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 
+def hard_sync(tree):
+    """block_until_ready does not sync through the axon tunnel; a
+    device->host fetch of one SCALAR does (a full-leaf fetch would be
+    bottlenecked by the tunnel's ~70 MB/s host link)."""
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def timeit(fn, *args, iters=10, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    hard_sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    hard_sync(out)
     return (time.perf_counter() - t0) / iters * 1000
 
 

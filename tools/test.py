@@ -78,7 +78,12 @@ def main(argv=None):
 
     metrics = dataset.evaluate(results, metric=args.eval,
                                classwise=args.classwise)
-    print(json.dumps(metrics, indent=2))
+    # classwise AP is NaN for classes with no gt; bare NaN is not valid
+    # JSON, so emit null there
+    import math
+    printable = {k: (None if isinstance(v, float) and math.isnan(v) else v)
+                 for k, v in metrics.items()}
+    print(json.dumps(printable, indent=2))
     if args.out:
         import pickle
         with open(args.out, "wb") as f:
