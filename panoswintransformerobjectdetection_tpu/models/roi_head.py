@@ -32,10 +32,17 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
                          sampling_ratio: int = 2) -> jnp.ndarray:
     """rois: (R, 5) (batch, x1, y1, x2, y2) image coords -> (R, o, o, C).
 
-    Delegates to the fused single-gather implementation in ops/roi_align.py.
+    Delegates to the interpolation-matrix GEMM implementation in
+    ops/roi_align.py.  When R is a multiple of the feature batch, rois are
+    block-ordered per image (every detector here builds them via
+    `rois.reshape(B*P, 5)`), so the per-image fast path applies.
     """
+    B = feats[0].shape[0]
+    R = rois.shape[0]
+    per_image = R // B if R % B == 0 and R > 0 else None
     return _fused_mra(list(feats), rois, strides=strides, out_size=out_size,
-                      finest_scale=finest_scale, sampling_ratio=sampling_ratio)
+                      finest_scale=finest_scale, sampling_ratio=sampling_ratio,
+                      per_image=per_image)
 
 
 @HEADS.register

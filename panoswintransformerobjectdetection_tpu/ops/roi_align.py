@@ -95,10 +95,48 @@ def _crop_level(feat, Wy, Wx, chunk: int = 512):
     return out.reshape(n_chunks * chunk, o, o, feat.shape[-1])[:R]
 
 
+def _crop_level_per_image(feat, Wy, Wx, chunk: int = 128):
+    """Per-image variant: crop[b,p] = Wy[b,p] @ F[b] @ Wx[b,p]^T.
+
+    feat: (B, Hl, Wl, C); Wy: (B, P, o, Hl); Wx: (B, P, o, Wl).  Skips the
+    generic path's batch-one-hot fold (which multiplies the big GEMM's
+    contraction dim by B) — valid when rois are block-ordered per image.
+    """
+    B, Hl, Wl, C = feat.shape
+    _, P, o, _ = Wy.shape
+
+    def run(args):
+        wy, wx = args
+        t = jnp.einsum("bpoh,bhwc->bpowc", wy, feat,
+                       preferred_element_type=jnp.float32).astype(feat.dtype)
+        return jnp.einsum("bpxw,bpowc->bpoxc", wx, t,
+                          preferred_element_type=jnp.float32).astype(feat.dtype)
+
+    if P <= chunk:
+        return run((Wy, Wx))
+    pad = (-P) % chunk
+    if pad:
+        Wy = jnp.concatenate(
+            [Wy, jnp.zeros((B, pad, o, Hl), Wy.dtype)], axis=1)
+        Wx = jnp.concatenate(
+            [Wx, jnp.zeros((B, pad, o, Wl), Wx.dtype)], axis=1)
+    n_chunks = (P + pad) // chunk
+    out = lax.map(run, (Wy.reshape(B, n_chunks, chunk, o, Hl).transpose(1, 0, 2, 3, 4),
+                        Wx.reshape(B, n_chunks, chunk, o, Wl).transpose(1, 0, 2, 3, 4)))
+    out = out.transpose(1, 0, 2, 3, 4, 5).reshape(B, n_chunks * chunk, o, o, C)
+    return out[:, :P]
+
+
 def _roi_align_packed(levels, rois, level_of_roi, inv_strides, out_size,
-                      sampling_ratio, aligned):
+                      sampling_ratio, aligned, per_image=None):
     """Shared core: levels is a list of (B, Hl, Wl, C) maps; every roi is
-    pooled from `levels[level_of_roi[r]]` at scale inv_strides[r]."""
+    pooled from `levels[level_of_roi[r]]` at scale inv_strides[r].
+
+    per_image: static RoI count per image.  When given (and R == B *
+    per_image), rois are taken as block-ordered by image — the layout
+    every detector in this codebase produces via `rois.reshape(B*P, 5)` —
+    and the batch one-hot fold is skipped (4x fewer MXU FLOPs at B=4).
+    """
     B = levels[0].shape[0]
     C = levels[0].shape[-1]
     R = rois.shape[0]
@@ -118,11 +156,40 @@ def _roi_align_packed(levels, rois, level_of_roi, inv_strides, out_size,
     bin_w = roi_w / o
     bin_h = roi_h / o
 
+    use_per_image = per_image is not None and R == B * per_image
     out = jnp.zeros((R, o, o, C), dtype)
+
+    if use_per_image:
+        # build ONE weight matrix per axis at the widest level's extent
+        # (per-roi coords/extents are already on the roi's own level, and
+        # a level-l roi's nonzero columns lie within [0, Hl)), then slice
+        # columns per level — 2 builds instead of 2 * n_levels
+        Hmax = max(f.shape[1] for f in levels)
+        Wmax = max(f.shape[2] for f in levels)
+        Hv = jnp.zeros((R,), jnp.int32)
+        Wv = jnp.zeros((R,), jnp.int32)
+        for l, f in enumerate(levels):
+            onl = level_of_roi == l
+            Hv = jnp.where(onl, f.shape[1], Hv)
+            Wv = jnp.where(onl, f.shape[2], Wv)
+        Wy_all = _axis_weights(y1, bin_h, o, s, Hv, Hmax,
+                               jnp.zeros_like(bidx), dtype)
+        Wx_all = _axis_weights(x1, bin_w, o, s, Wv, Wmax,
+                               jnp.zeros_like(bidx), dtype)
+        for l, feat in enumerate(levels):
+            Hl, Wl = feat.shape[1], feat.shape[2]
+            sel = (level_of_roi == l).astype(dtype)
+            Wy = Wy_all[:, :, :Hl] * sel[:, None, None]
+            Wx = Wx_all[:, :, :Wl]
+            crop = _crop_level_per_image(
+                feat, Wy.reshape(B, per_image, o, Hl),
+                Wx.reshape(B, per_image, o, Wl))
+            out = out + crop.reshape(R, o, o, C)
+        return out
+
     for l, feat in enumerate(levels):
         Hl, Wl = feat.shape[1], feat.shape[2]
-        on_level = (level_of_roi == l)
-        sel = on_level.astype(jnp.float32)
+        sel = (level_of_roi == l).astype(jnp.float32)
         Hv = jnp.full((R,), Hl, jnp.int32)
         Wv = jnp.full((R,), Wl, jnp.int32)
         # batch block offset folds image selection into the y axis;
@@ -151,7 +218,8 @@ def roi_align(feats: jnp.ndarray, rois: jnp.ndarray, out_size: int = 7,
 def multilevel_roi_align(feats, rois: jnp.ndarray, strides=(4, 8, 16, 32),
                          out_size: int = 7, finest_scale: int = 56,
                          sampling_ratio: int = 2,
-                         aligned: bool = True) -> jnp.ndarray:
+                         aligned: bool = True,
+                         per_image: Optional[int] = None) -> jnp.ndarray:
     """FPN-level-routed RoIAlign as per-level interpolation-matrix GEMMs.
 
     `SingleRoIExtractor` semantics (`single_level_roi_extractor.py:9`):
@@ -166,6 +234,9 @@ def multilevel_roi_align(feats, rois: jnp.ndarray, strides=(4, 8, 16, 32),
     scale_sz = jnp.sqrt(jnp.clip(w_roi * h_roi, 0.0, None))
     lvl = jnp.floor(jnp.log2(scale_sz / finest_scale + 1e-6)).astype(jnp.int32)
     lvl = jnp.clip(lvl, 0, L - 1)
-    inv = jnp.asarray(1.0 / np.asarray(strides, np.float32))[lvl]
+    # per-roi 1/stride without a gather (even tiny gathers serialize)
+    inv = jnp.zeros(lvl.shape, jnp.float32)
+    for l in range(L):
+        inv = jnp.where(lvl == l, 1.0 / float(strides[l]), inv)
     return _roi_align_packed(list(feats), rois, lvl, inv, out_size,
-                             sampling_ratio, aligned)
+                             sampling_ratio, aligned, per_image=per_image)
