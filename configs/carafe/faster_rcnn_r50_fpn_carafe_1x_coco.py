@@ -1,0 +1,5 @@
+# Faster R-CNN with CARAFE FPN (reference configs/carafe/).
+_base_ = ["../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py"]
+model = dict(neck=dict(_delete_=True, type="FPN_CARAFE",
+                       in_channels=(256, 512, 1024, 2048),
+                       out_channels=256, num_outs=5, upsample_kernel=5))

@@ -1,0 +1,17 @@
+# Mask R-CNN on DeepFashion (reference configs/deepfashion/).
+_base_ = ["../mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py"]
+model = dict(num_classes=15)
+runner = dict(max_epochs=15)
+dataset_type = "DeepFashionDataset"
+data_root = "data/DeepFashion/In-shop/"
+data = dict(
+    train=dict(type=dataset_type,
+               ann_file=data_root + "annotations/DeepFashion_segmentation_train.json",
+               img_prefix=data_root + "Img/"),
+    val=dict(type=dataset_type,
+             ann_file=data_root + "annotations/DeepFashion_segmentation_query.json",
+             img_prefix=data_root + "Img/", test_mode=True),
+    test=dict(type=dataset_type,
+              ann_file=data_root + "annotations/DeepFashion_segmentation_gallery.json",
+              img_prefix=data_root + "Img/", test_mode=True),
+)

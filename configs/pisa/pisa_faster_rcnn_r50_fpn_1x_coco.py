@@ -1,0 +1,3 @@
+# PISA Faster R-CNN (reference configs/pisa/): ISR-P + CARL on RoI losses.
+_base_ = ["../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py"]
+model = dict(pisa=dict(isr_k=2.0, isr_bias=0.0, carl_k=1.0, carl_bias=0.2))

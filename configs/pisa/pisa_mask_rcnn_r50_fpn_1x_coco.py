@@ -1,0 +1,3 @@
+# PISA Mask R-CNN (reference configs/pisa/).
+_base_ = ["../mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py"]
+model = dict(pisa=dict(isr_k=2.0, isr_bias=0.0, carl_k=1.0, carl_bias=0.2))

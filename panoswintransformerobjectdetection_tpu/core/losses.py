@@ -91,12 +91,36 @@ def ghm_c_loss(logits, labels, num_classes, bins=10, momentum=0.0,
     n_valid = jnp.maximum(valid.sum(), 1.0)
     edges = jnp.linspace(0.0, 1.0 + 1e-6, bins + 1)
     idx = jnp.clip(jnp.searchsorted(edges, g, side="right") - 1, 0, bins - 1)
-    counts = jnp.zeros(bins).at[idx.reshape(-1)].add(valid.reshape(-1))
-    density = counts[idx] * (counts > 0).sum() / n_valid
+    # bin histogram + per-element density via one-hot sums (gather/scatter
+    # lower to serial loops on the TPU backend)
+    onehot = (idx[..., None] == jnp.arange(bins)).astype(g.dtype)
+    counts = (onehot * valid[..., None]).sum(axis=tuple(range(g.ndim)))
+    density = (onehot * counts).sum(-1) * (counts > 0).sum() / n_valid
     w = jnp.where(density > 0, 1.0 / jnp.maximum(density, 1e-12), 0.0)
     bce = jnp.maximum(logits, 0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     loss = (bce * w * valid).sum(-1)
     return _reduce(loss, None, avg_factor if avg_factor is not None else n_valid)
+
+
+def ghm_r_loss(pred, target, mu=0.02, bins=10, weight=None, avg_factor=None):
+    """Gradient-Harmonizing regression loss (`ghm_loss.py` GHMR, stateless):
+    ASL1 loss sqrt(d^2 + mu^2) - mu with per-example weight equal to the
+    inverse gradient-norm density, g = |d / sqrt(d^2 + mu^2)|."""
+    d = pred - target
+    s = jnp.sqrt(d * d + mu * mu)
+    loss = s - mu
+    g = jnp.abs(d / s)
+    valid = jnp.ones_like(g) if weight is None else \
+        jnp.broadcast_to(weight, g.shape)
+    n_valid = jnp.maximum(valid.sum(), 1.0)
+    edges = jnp.linspace(0.0, 1.0 + 1e-6, bins + 1)
+    idx = jnp.clip(jnp.searchsorted(edges, g, side="right") - 1, 0, bins - 1)
+    onehot = (idx[..., None] == jnp.arange(bins)).astype(g.dtype)
+    counts = (onehot * valid[..., None]).sum(axis=tuple(range(g.ndim)))
+    density = (onehot * counts).sum(-1) * (counts > 0).sum() / n_valid
+    w = jnp.where(density > 0, 1.0 / jnp.maximum(density, 1e-12), 0.0)
+    return _reduce(loss * w * valid, None,
+                   avg_factor if avg_factor is not None else n_valid)
 
 
 def iou_loss(pred, target, weight=None, avg_factor=None, eps=1e-6):

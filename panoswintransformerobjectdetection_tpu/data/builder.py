@@ -30,6 +30,7 @@ DATASETS = {
     "LVISDataset": D.LVISDataset,
     "CityscapesDataset": D.CityscapesDataset,
     "WIDERFaceDataset": D.WIDERFaceDataset,
+    "DeepFashionDataset": D.DeepFashionDataset,
 }
 
 

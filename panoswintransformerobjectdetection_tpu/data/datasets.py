@@ -369,3 +369,11 @@ class CityscapesDataset(CocoStyleDataset):
 class WIDERFaceDataset(CocoStyleDataset):
     """WIDER-Face single-class detection (`mmdet/datasets/wider_face.py`)."""
     CLASSES = ("face",)
+
+
+class DeepFashionDataset(CocoStyleDataset):
+    """DeepFashion landmark/clothes detection
+    (`mmdet/datasets/deepfashion.py`)."""
+    CLASSES = ("top", "skirt", "leggings", "dress", "outer", "pants",
+               "bag", "neckwear", "headwear", "eyeglass", "belt",
+               "footwear", "hair", "skin", "face")

@@ -55,6 +55,20 @@ def default_test_cfg() -> dict:
     }
 
 
+class NeckChain(nn.Module):
+    """Sequential neck composition (Libra R-CNN's FPN -> BFP; mmdet builds
+    list-valued `neck` configs as nn.Sequential)."""
+    cfgs: Tuple[Any, ...]
+
+    def setup(self):
+        self.neck_list = [build(NECKS, dict(c)) for c in self.cfgs]
+
+    def __call__(self, feats):
+        for m in self.neck_list:
+            feats = m(feats)
+        return feats
+
+
 @DETECTORS.register
 class TwoStageDetector(nn.Module):
     backbone: Any                    # config dict with 'type'
@@ -71,18 +85,30 @@ class TwoStageDetector(nn.Module):
     with_mask: bool = False
     mask_roi_size: int = 14
     compute_dtype: Any = None   # e.g. "bfloat16": MXU-friendly mixed precision
+    # PISA (configs/pisa): ISR-P + CARL on the RoI losses; dict of
+    # isr_k/isr_bias/carl_k/carl_bias/carl_weight or None
+    pisa: Optional[dict] = None
 
     def setup(self):
         bb_cfg = dict(self.backbone)
         if self.compute_dtype is not None:
             bb_cfg.setdefault("dtype", self.compute_dtype)
         self.backbone_m = build(BACKBONES, bb_cfg)
-        neck_cfg = dict(self.neck or {"type": "FPN",
-                                      "in_channels": (96, 192, 384, 768),
-                                      "out_channels": 256, "num_outs": 5})
+        neck_cfg = self.neck or {"type": "FPN",
+                                 "in_channels": (96, 192, 384, 768),
+                                 "out_channels": 256, "num_outs": 5}
+        # a list/tuple of neck configs chains them (Libra R-CNN FPN -> BFP,
+        # `mmdet/models/detectors/two_stage.py` builds necks via Sequential)
+        neck_cfgs = list(neck_cfg) if isinstance(neck_cfg, (list, tuple)) \
+            else [dict(neck_cfg)]
         if self.compute_dtype is not None:
-            neck_cfg.setdefault("dtype", self.compute_dtype)
-        self.neck_m = build(NECKS, neck_cfg)
+            neck_cfgs = [dict(c) for c in neck_cfgs]
+            for c in neck_cfgs:
+                c.setdefault("dtype", self.compute_dtype)
+        if len(neck_cfgs) == 1:
+            self.neck_m = build(NECKS, neck_cfgs[0])
+        else:
+            self.neck_m = NeckChain(cfgs=tuple(neck_cfgs), name="neck_chain")
         self.rpn_m = RPNHead(
             num_anchors=len(self.anchor_scales) * len(self.anchor_ratios),
             dtype=self.compute_dtype)
@@ -170,7 +196,8 @@ class TwoStageDetector(nn.Module):
         roi_feats = multilevel_roi_align(feats[:4], flat_rois,
                                          strides=self.featmap_strides)
         cls, reg = self.bbox_head_m(roi_feats)
-        losses_out.update(bbox_head_loss(cls, reg, samples, self.num_classes))
+        losses_out.update(bbox_head_loss(cls, reg, samples, self.num_classes,
+                                         pisa=self.pisa))
 
         if self.with_mask and gt_masks is not None:
             mask_out = self._mask_train_outputs(

@@ -203,3 +203,83 @@ class NASFPN(nn.Module):
             p6 = out(_gp_merge(_resize_to(p7, *size(p6)),
                                _resize_to(p5, *size(p6))), "gp_75_6")
         return (p3, p4, p5, p6, p7)
+
+
+@NECKS.register
+class FPN_CARAFE(nn.Module):
+    """FPN whose top-down upsampling is CARAFE content-aware reassembly
+    (`mmdet/models/necks/fpn_carafe.py`, configs/carafe).  Same lateral /
+    output conv topology as FPN; extra levels from max-pool."""
+    in_channels: Sequence[int] = (256, 512, 1024, 2048)
+    out_channels: int = 256
+    num_outs: int = 5
+    start_level: int = 0
+    upsample_kernel: int = 5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, feats):
+        from ..ops.carafe import CARAFEPack
+        dt = resolve_dtype(self.dtype)
+        used = feats[self.start_level:]
+        if dt is not None:
+            used = [f.astype(dt) for f in used]
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), dtype=dt, name=f"lateral_{i}")(f)
+            for i, f in enumerate(used)
+        ]
+        for i in range(len(laterals) - 1, 0, -1):
+            up = CARAFEPack(up=2, k=self.upsample_kernel,
+                            name=f"carafe_{i}")(laterals[i])
+            laterals[i - 1] = laterals[i - 1] + up[:, :laterals[i - 1].shape[1],
+                                                   :laterals[i - 1].shape[2]]
+        outs = [
+            nn.Conv(self.out_channels, (3, 3), padding=1, dtype=dt,
+                    name=f"fpn_{i}")(l)
+            for i, l in enumerate(laterals)
+        ]
+        while len(outs) < self.num_outs:
+            outs.append(max_pool_s2(outs[-1]))
+        return tuple(outs)
+
+
+@NECKS.register
+class BFP(nn.Module):
+    """Balanced Feature Pyramid (`mmdet/models/necks/bfp.py`, Libra R-CNN):
+    gather all levels to the refine level, average, refine with a conv,
+    scatter the residual back to every level."""
+    in_channels: int = 256
+    num_levels: int = 5
+    refine_level: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, feats):
+        assert len(feats) == self.num_levels
+        dt = resolve_dtype(self.dtype)
+        rh, rw = feats[self.refine_level].shape[1:3]
+        gathered = []
+        for i, f in enumerate(feats):
+            if dt is not None:
+                f = f.astype(dt)
+            if i < self.refine_level:
+                k = feats[i].shape[1] // rh
+                f = nn.max_pool(f, (k, k), strides=(k, k))
+            elif i > self.refine_level:
+                f = nearest_upsample(f, rh, rw)
+            gathered.append(f)
+        bsf = sum(gathered) / self.num_levels
+        bsf = nn.Conv(self.in_channels, (3, 3), padding=1, dtype=dt,
+                      name="refine")(bsf)
+        outs = []
+        for i, f in enumerate(feats):
+            h, w = f.shape[1:3]
+            if i < self.refine_level:
+                r = nearest_upsample(bsf, h, w)
+            elif i > self.refine_level:
+                k = rh // h
+                r = nn.max_pool(bsf, (k, k), strides=(k, k))
+            else:
+                r = bsf
+            outs.append(f + r.astype(f.dtype))
+        return tuple(outs)

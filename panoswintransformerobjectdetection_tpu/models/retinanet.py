@@ -63,6 +63,10 @@ class RetinaNet(nn.Module):
     train_cfg: Optional[dict] = None
     test_cfg: Optional[dict] = None
     compute_dtype: Any = None
+    # optional loss overrides (configs/ghm): {"type": "GHMC", ...} /
+    # {"type": "GHMR", ...}; None keeps focal + L1
+    loss_cls: Optional[dict] = None
+    loss_bbox: Optional[dict] = None
 
     def setup(self):
         bb = dict(self.backbone)
@@ -117,11 +121,24 @@ class RetinaNet(nn.Module):
 
         labels, weights, targets, pos = jax.vmap(single)(gt_boxes, gt_labels, gt_valid)
         num_pos = jnp.maximum(pos.sum(), 1.0)
-        loss_cls = losses.sigmoid_focal_loss(cls, labels, self.num_classes,
-                                             weight=weights, avg_factor=num_pos)
-        loss_bbox = losses.l1_loss(reg, targets,
-                                   weight=pos[..., None].astype(jnp.float32),
-                                   avg_factor=num_pos)
+        if self.loss_cls and self.loss_cls.get("type") == "GHMC":
+            loss_cls = losses.ghm_c_loss(
+                cls, labels, self.num_classes,
+                bins=self.loss_cls.get("bins", 10), weight=weights,
+                avg_factor=num_pos)
+        else:
+            loss_cls = losses.sigmoid_focal_loss(
+                cls, labels, self.num_classes, weight=weights,
+                avg_factor=num_pos)
+        pw = pos[..., None].astype(jnp.float32)
+        if self.loss_bbox and self.loss_bbox.get("type") == "GHMR":
+            loss_bbox = losses.ghm_r_loss(
+                reg, targets, mu=self.loss_bbox.get("mu", 0.02),
+                bins=self.loss_bbox.get("bins", 10), weight=pw,
+                avg_factor=num_pos)
+        else:
+            loss_bbox = losses.l1_loss(reg, targets, weight=pw,
+                                       avg_factor=num_pos)
         return {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
 
     def simple_test(self, images, img_shapes, scale_factors=None,

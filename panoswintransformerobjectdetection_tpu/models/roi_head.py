@@ -130,8 +130,15 @@ def sample_rois_for_training(rng, proposals, prop_mask, gt_boxes, gt_labels,
 
 
 def bbox_head_loss(cls_logits, bbox_pred, samples: RoISamples, num_classes,
-                   reg_class_agnostic=False) -> Dict[str, jnp.ndarray]:
-    """Softmax CE + L1 on positive rows (`bbox_head.py` loss semantics)."""
+                   reg_class_agnostic=False,
+                   pisa=None) -> Dict[str, jnp.ndarray]:
+    """Softmax CE + L1 on positive rows (`bbox_head.py` loss semantics).
+
+    pisa: optional dict (configs/pisa) enabling ISR-P importance
+    reweighting of the regression loss and the CARL classification-aware
+    term (`pisa_loss.py isr_p / carl_loss`); keys: isr_k, isr_bias,
+    carl_k, carl_bias.
+    """
     B, S = samples.labels.shape
     cls_logits = cls_logits.reshape(B, S, -1)
     bbox_pred = bbox_pred.reshape(B, S, -1)
@@ -149,10 +156,41 @@ def bbox_head_loss(cls_logits, bbox_pred, samples: RoISamples, num_classes,
         pred = bbox_pred.reshape(B, S, num_classes, 4)
         pred = jnp.take_along_axis(pred, lab[..., None, None].repeat(4, -1),
                                    axis=2)[:, :, 0]
+    reg_w = samples.bbox_weights
+    out = {}
+    if pisa:
+        from ..core.bbox import delta_decode
+        pos = (samples.bbox_weights > 0).astype(jnp.float32)
+        # assigned IoU recovered from the stored deltas: the matched gt box
+        # is decode(roi, target) with the rcnn encode stds
+        roi_boxes = samples.rois[..., 1:].reshape(-1, 4)
+        gt_boxes = delta_decode(roi_boxes, samples.bbox_targets.reshape(-1, 4),
+                                stds=pisa.get("target_stds",
+                                              (0.1, 0.1, 0.2, 0.2)))
+        lt = jnp.maximum(roi_boxes[:, :2], gt_boxes[:, :2])
+        rb = jnp.minimum(roi_boxes[:, 2:], gt_boxes[:, 2:])
+        wh = jnp.clip(rb - lt, 0, None)
+        inter = wh[:, 0] * wh[:, 1]
+        area = lambda b: jnp.clip(b[:, 2] - b[:, 0], 0, None) * \
+            jnp.clip(b[:, 3] - b[:, 1], 0, None)
+        ious = (inter / jnp.maximum(area(roi_boxes) + area(gt_boxes) - inter,
+                                    1e-6)).reshape(B, S)
+        isr = losses.isr_weights(ious.reshape(-1), pos.reshape(-1),
+                                 k=pisa.get("isr_k", 2.0),
+                                 bias=pisa.get("isr_bias", 0.0)).reshape(B, S)
+        reg_w = reg_w * isr
+        carl = losses.carl_weights(cls_logits, samples.labels, pos,
+                                   num_classes, k=pisa.get("carl_k", 1.0),
+                                   bias=pisa.get("carl_bias", 0.2))
+        out["loss_carl"] = losses.l1_loss(
+            pred, samples.bbox_targets,
+            weight=(carl * pos)[..., None], avg_factor=num_sampled) * \
+            pisa.get("carl_weight", 1.0)
     loss_bbox = losses.l1_loss(pred, samples.bbox_targets,
-                               weight=samples.bbox_weights[..., None],
+                               weight=reg_w[..., None],
                                avg_factor=num_sampled)
-    return {"loss_cls": loss_cls, "loss_bbox": loss_bbox, "acc": acc}
+    out.update({"loss_cls": loss_cls, "loss_bbox": loss_bbox, "acc": acc})
+    return out
 
 
 def bbox_head_detections(cls_logits, bbox_pred, rois, img_shapes, num_classes,

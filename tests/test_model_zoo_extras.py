@@ -1,0 +1,148 @@
+"""Round-2 model-zoo additions: PISA, GHM, CARAFE-FPN, BFP (Libra),
+NeckChain, DeepFashion dataset, ghm_r loss.
+
+Reference: configs/pisa, configs/ghm (`mmdet/models/losses/ghm_loss.py`),
+configs/carafe (`mmdet/models/necks/fpn_carafe.py`), configs/libra_rcnn
+(`mmdet/models/necks/bfp.py`).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from panoswintransformerobjectdetection_tpu.models import DETECTORS, NECKS, build
+from panoswintransformerobjectdetection_tpu.core import losses
+
+
+BB = {"type": "ResNet", "depth": 18}
+NECK = {"type": "FPN", "in_channels": (64, 128, 256, 512),
+        "out_channels": 16, "num_outs": 5}
+
+
+def _train_batch(rng, B=2, H=64, W=128, G=3):
+    r = np.random.default_rng(0)
+    return dict(
+        images=jnp.asarray(r.random((B, H, W, 3)), jnp.float32),
+        img_shapes=jnp.tile(jnp.array([[H, W]], jnp.float32), (B, 1)),
+        gt_boxes=jnp.asarray(r.uniform(0, 40, (B, G, 4)).cumsum(-1),
+                             jnp.float32),
+        gt_labels=jnp.zeros((B, G), jnp.int32),
+        gt_valid=jnp.ones((B, G), bool),
+    )
+
+
+class TestPISA:
+    def test_faster_rcnn_pisa_losses(self, rng):
+        det = build(DETECTORS, {
+            "type": "FasterRCNN", "backbone": BB, "neck": NECK,
+            "num_classes": 5,
+            "pisa": {"isr_k": 2.0, "isr_bias": 0.0, "carl_k": 1.0,
+                     "carl_bias": 0.2},
+            "train_cfg": {
+                "rpn": {"pos_iou_thr": 0.7, "neg_iou_thr": 0.3,
+                        "min_pos_iou": 0.3, "num_samples": 16,
+                        "pos_fraction": 0.5},
+                "rpn_proposal": {"nms_pre": 32, "max_per_img": 16,
+                                 "iou_threshold": 0.7, "min_bbox_size": 0},
+                "rcnn": {"pos_iou_thr": 0.5, "neg_iou_thr": 0.5,
+                         "min_pos_iou": 0.5, "num_samples": 16,
+                         "pos_fraction": 0.25},
+            },
+        })
+        b = _train_batch(rng)
+        vs = det.init(jax.random.PRNGKey(0), b["images"])
+        out = det.apply(vs, **b, method=det.forward_train,
+                        rngs={"sampler": jax.random.PRNGKey(1)})
+        assert "loss_carl" in out
+        for k, v in out.items():
+            assert np.isfinite(float(v)), (k, v)
+
+
+class TestGHM:
+    def test_ghm_r_matches_asl1_at_uniform_density(self):
+        # single bin -> all weights equal -> GHMR == mean ASL1
+        pred = jnp.asarray([[1.0, 2.0], [0.5, -1.0]])
+        tgt = jnp.zeros((2, 2))
+        mu = 0.02
+        got = float(losses.ghm_r_loss(pred, tgt, mu=mu, bins=1))
+        asl1 = np.sqrt(np.asarray(pred) ** 2 + mu ** 2) - mu
+        assert abs(got - asl1.mean()) < 1e-5
+
+    def test_ghm_c_downweights_dense_bins(self):
+        # many easy negatives + one hard positive: the hard example's
+        # effective weight must exceed an easy one's
+        logits = jnp.asarray([[-5.0]] * 50 + [[-4.9]] * 49 + [[5.0]])
+        labels = jnp.asarray([1] * 99 + [0])  # all bg(=1 of 1 class) but one
+        lo = float(losses.ghm_c_loss(logits, labels, 1, bins=10))
+        assert np.isfinite(lo) and lo >= 0
+
+    def test_retinanet_ghm_config_trains(self, rng):
+        det = build(DETECTORS, {
+            "type": "RetinaNet",
+            "backbone": {"type": "ResNet", "depth": 18,
+                         "out_indices": (1, 2, 3)},
+            "neck": {"type": "FPN", "in_channels": (128, 256, 512),
+                     "out_channels": 16, "num_outs": 5,
+                     "add_extra_convs": True},
+            "num_classes": 5,
+            "loss_cls": {"type": "GHMC", "bins": 30},
+            "loss_bbox": {"type": "GHMR", "mu": 0.02, "bins": 10},
+        })
+        b = _train_batch(rng)
+        vs = det.init(jax.random.PRNGKey(0), b["images"])
+        out = det.apply(vs, **b, method=det.forward_train)
+        assert all(np.isfinite(float(v)) for v in out.values()), out
+
+
+class TestNecks:
+    def _feats(self):
+        r = np.random.default_rng(0)
+        return tuple(jnp.asarray(r.random((2, s, 2 * s, c)), jnp.float32)
+                     for s, c in ((16, 64), (8, 128), (4, 256), (2, 512)))
+
+    def test_fpn_carafe_shapes(self):
+        neck = build(NECKS, {"type": "FPN_CARAFE",
+                             "in_channels": (64, 128, 256, 512),
+                             "out_channels": 16, "num_outs": 5})
+        feats = self._feats()
+        vs = neck.init(jax.random.PRNGKey(0), feats)
+        outs = neck.apply(vs, feats)
+        assert len(outs) == 5
+        assert outs[0].shape == (2, 16, 32, 16)
+        assert outs[4].shape == (2, 1, 2, 16)
+
+    def test_bfp_preserves_shapes_and_adds_residual(self):
+        feats5 = tuple(jnp.asarray(
+            np.random.default_rng(1).random((2, s, 2 * s, 16)), jnp.float32)
+            for s in (16, 8, 4, 2, 1))
+        neck = build(NECKS, {"type": "BFP", "in_channels": 16,
+                             "num_levels": 5, "refine_level": 2})
+        vs = neck.init(jax.random.PRNGKey(0), feats5)
+        outs = neck.apply(vs, feats5)
+        assert tuple(o.shape for o in outs) == tuple(f.shape for f in feats5)
+        # not the identity: the refined residual must change the maps
+        assert not np.allclose(np.asarray(outs[0]), np.asarray(feats5[0]))
+
+    def test_libra_neck_chain_in_detector(self, rng):
+        det = build(DETECTORS, {
+            "type": "FasterRCNN", "backbone": BB,
+            "neck": [dict(type="FPN", in_channels=(64, 128, 256, 512),
+                          out_channels=16, num_outs=5),
+                     dict(type="BFP", in_channels=16, num_levels=5,
+                          refine_level=2)],
+            "num_classes": 5,
+        })
+        b = _train_batch(rng)
+        vs = det.init(jax.random.PRNGKey(0), b["images"])
+        feats = det.apply(vs, b["images"], method=det.extract_feat)
+        assert len(feats) == 5
+
+
+class TestDeepFashion:
+    def test_registered_with_15_classes(self):
+        from panoswintransformerobjectdetection_tpu.data.datasets import (
+            DeepFashionDataset)
+        from panoswintransformerobjectdetection_tpu.data.builder import DATASETS
+        assert DATASETS["DeepFashionDataset"] is DeepFashionDataset
+        assert len(DeepFashionDataset.CLASSES) == 15
