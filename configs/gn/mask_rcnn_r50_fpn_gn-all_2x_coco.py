@@ -1,0 +1,3 @@
+# Mask R-CNN with GroupNorm heads (reference configs/gn/).
+_base_ = ["../mask_rcnn/mask_rcnn_r50_fpn_2x_coco.py"]
+model = dict(bbox_head=dict(type="Shared4Conv1FCBBoxHead", norm_groups=32))

@@ -20,6 +20,7 @@ PIPELINES = {
     "BasketBallExpand": T.BasketBallExpand,
     "RandomCrop": T.RandomCrop,
     "AutoAugment": T.AutoAugment,
+    "PhotoMetricDistortion": T.PhotoMetricDistortion,
 }
 
 DATASETS = {

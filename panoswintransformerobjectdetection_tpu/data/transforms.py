@@ -386,3 +386,40 @@ class AutoAugment:
 
     def __call__(self, results):
         return random.choice(self.policies)(results)
+
+
+class PhotoMetricDistortion:
+    """Photometric jitter (`mmdet/datasets/pipelines/transforms.py`
+    PhotoMetricDistortion): random brightness / contrast / saturation /
+    hue, with the reference's random contrast-ordering.  Host-side numpy
+    on uint8-range float images (applied before Normalize)."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
+        self.brightness_delta = brightness_delta
+        self.contrast_range = contrast_range
+        self.saturation_range = saturation_range
+        self.hue_delta = hue_delta
+
+    def __call__(self, results):
+        import cv2
+        img = results["img"].astype(np.float32)
+        if random.random() < 0.5:
+            img = img + random.uniform(-self.brightness_delta,
+                                       self.brightness_delta)
+        contrast_first = random.random() < 0.5
+        if contrast_first and random.random() < 0.5:
+            img = img * random.uniform(*self.contrast_range)
+        hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                           cv2.COLOR_BGR2HSV).astype(np.float32)
+        if random.random() < 0.5:
+            hsv[..., 1] = hsv[..., 1] * random.uniform(*self.saturation_range)
+        if random.random() < 0.5:
+            hsv[..., 0] = (hsv[..., 0] +
+                           random.uniform(-self.hue_delta, self.hue_delta)) % 180
+        img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8),
+                           cv2.COLOR_HSV2BGR).astype(np.float32)
+        if not contrast_first and random.random() < 0.5:
+            img = img * random.uniform(*self.contrast_range)
+        results["img"] = np.clip(img, 0, 255)
+        return results

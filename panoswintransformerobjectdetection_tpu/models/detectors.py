@@ -88,6 +88,27 @@ class TwoStageDetector(nn.Module):
     # PISA (configs/pisa): ISR-P + CARL on the RoI losses; dict of
     # isr_k/isr_bias/carl_k/carl_bias/carl_weight or None
     pisa: Optional[dict] = None
+    # optional bbox-head override, e.g. {"type": "DoubleConvFCBBoxHead"}
+    # (configs/double_heads) or {"type": "Shared4Conv1FCBBoxHead"}
+    # (configs/gn); None keeps Shared2FC
+    bbox_head: Optional[dict] = None
+    # "generic" pools every RoI from EVERY pyramid level and sums
+    # (GRoIE, configs/groie); None keeps the level-routed extractor
+    roi_extractor: Optional[str] = None
+
+    def _roi_extract(self, feats, flat_rois, out_size: int = 7):
+        if self.roi_extractor == "generic":
+            from ..ops.roi_align import generic_roi_align
+            return generic_roi_align(feats[:4], flat_rois,
+                                     strides=self.featmap_strides,
+                                     out_size=out_size)
+        return multilevel_roi_align(feats[:4], flat_rois,
+                                    strides=self.featmap_strides,
+                                    out_size=out_size)
+
+    def _default_bbox_head(self):
+        """Subclass hook: the head config used when `bbox_head` is unset."""
+        return None
 
     def setup(self):
         bb_cfg = dict(self.backbone)
@@ -112,8 +133,17 @@ class TwoStageDetector(nn.Module):
         self.rpn_m = RPNHead(
             num_anchors=len(self.anchor_scales) * len(self.anchor_ratios),
             dtype=self.compute_dtype)
-        self.bbox_head_m = Shared2FCBBoxHead(num_classes=self.num_classes,
-                                             dtype=self.compute_dtype)
+        head_cfg = self.bbox_head or self._default_bbox_head()
+        if head_cfg is not None:
+            from .registry import HEADS
+            hc = dict(head_cfg)
+            hc.setdefault("num_classes", self.num_classes)
+            if self.compute_dtype is not None:
+                hc.setdefault("dtype", self.compute_dtype)
+            self.bbox_head_m = build(HEADS, hc)
+        else:
+            self.bbox_head_m = Shared2FCBBoxHead(num_classes=self.num_classes,
+                                                 dtype=self.compute_dtype)
         if self.with_mask:
             self.mask_head_m = FCNMaskHead(num_classes=self.num_classes)
         self.anchor_gen = AnchorGenerator(
@@ -146,13 +176,11 @@ class TwoStageDetector(nn.Module):
         dummy_rois = jnp.tile(
             jnp.array([[0.0, 0.0, 0.0, 32.0, 32.0]], images.dtype), (B, 1))
         dummy_rois = dummy_rois.at[:, 0].set(jnp.arange(B, dtype=images.dtype))
-        roi_feats = multilevel_roi_align(feats[:4], dummy_rois,
-                                         strides=self.featmap_strides)
+        roi_feats = self._roi_extract(feats, dummy_rois)
         cls, reg = self.bbox_head_m(roi_feats)
         if self.with_mask:
-            mfeats = multilevel_roi_align(feats[:4], dummy_rois,
-                                          strides=self.featmap_strides,
-                                          out_size=self.mask_roi_size)
+            mfeats = self._roi_extract(feats, dummy_rois,
+                                       out_size=self.mask_roi_size)
             mlogits = self.mask_head_m(mfeats)
             self._init_extra_mask(mfeats, mlogits)
         return feats, (cls_scores, bbox_preds), (cls, reg)
@@ -193,8 +221,7 @@ class TwoStageDetector(nn.Module):
 
         B, S, _ = samples.rois.shape
         flat_rois = samples.rois.reshape(B * S, 5)
-        roi_feats = multilevel_roi_align(feats[:4], flat_rois,
-                                         strides=self.featmap_strides)
+        roi_feats = self._roi_extract(feats, flat_rois)
         cls, reg = self.bbox_head_m(roi_feats)
         losses_out.update(bbox_head_loss(cls, reg, samples, self.num_classes,
                                          pisa=self.pisa))
@@ -259,8 +286,7 @@ class TwoStageDetector(nn.Module):
         B, P, _ = props.boxes.shape
         bidx = jnp.broadcast_to(jnp.arange(B, dtype=images.dtype)[:, None], (B, P))
         rois = jnp.concatenate([bidx[..., None], props.boxes], axis=-1)
-        roi_feats = multilevel_roi_align(feats[:4], rois.reshape(B * P, 5),
-                                         strides=self.featmap_strides)
+        roi_feats = self._roi_extract(feats, rois.reshape(B * P, 5))
         cls, reg = self.bbox_head_m(roi_feats)
         return bbox_head_detections(
             cls.reshape(B, P, -1), reg.reshape(B, P, -1), rois, img_shapes,
@@ -429,6 +455,71 @@ class FastRCNN(TwoStageDetector):
             self.num_classes, target_stds=self.rcnn_target_stds,
             roi_mask=proposal_valid, scale_factors=scale_factors,
             **cfg["rcnn"])
+
+
+@DETECTORS.register
+class DoubleHeadRCNN(TwoStageDetector):
+    """Double-Head R-CNN (`mmdet/models/detectors/double_head_rcnn` via
+    configs/double_heads): conv branch for regression, fc branch for
+    classification in the RoI head."""
+
+    def _default_bbox_head(self):
+        return {"type": "DoubleConvFCBBoxHead"}
+
+
+@DETECTORS.register
+class DynamicRCNN(TwoStageDetector):
+    """Dynamic R-CNN (`mmdet/models/roi_heads/dynamic_roi_head.py`,
+    configs/dynamic_rcnn): the RCNN positive-IoU threshold adapts to the
+    proposal-quality distribution.  The reference keeps a cross-iteration
+    running statistic; under jit we use the tight per-batch equivalent —
+    threshold = mean of the top-k proposal IoUs of the batch, clamped to
+    the static base threshold from below.
+    """
+    dynamic_topk: int = 75
+
+    def forward_train(self, images, img_shapes, gt_boxes, gt_labels,
+                      gt_valid, gt_masks=None, pano_ratio_v=None):
+        tc = dict(self.train_cfg or default_train_cfg())
+        feats = self.extract_feat(images, train=True,
+                                  pano_ratio_v=pano_ratio_v)
+        cls_scores, bbox_preds = self.rpn_m(feats)
+        level_anchors, anchors = self._anchors(cls_scores)
+        losses_out = rpn_loss(cls_scores, bbox_preds, anchors, gt_boxes,
+                              gt_valid, self.make_rng("sampler"),
+                              target_stds=self.rpn_target_stds, **tc["rpn"])
+        props = jax.tree_util.tree_map(
+            jax.lax.stop_gradient,
+            rpn_proposals(cls_scores, bbox_preds, level_anchors, img_shapes,
+                          target_stds=self.rpn_target_stds,
+                          **tc["rpn_proposal"]))
+
+        # dynamic IoU threshold: mean of the batch top-k proposal-gt IoUs
+        def top_ious(boxes, mask, gts, gvalid):
+            ious = bbox_overlaps(boxes, gts)            # (P, G)
+            ious = jnp.where(mask[:, None] & gvalid[None, :], ious, 0.0)
+            best = ious.max(axis=1)
+            k = min(self.dynamic_topk, best.shape[0])
+            return jax.lax.top_k(best, k)[0]
+        tk = jax.vmap(top_ious)(props.boxes, props.mask, gt_boxes, gt_valid)
+        base = tc["rcnn"].get("pos_iou_thr", 0.5)
+        dyn_thr = jnp.maximum(tk.mean(), base)
+
+        rcnn_cfg = dict(tc["rcnn"])
+        rcnn_cfg["pos_iou_thr"] = dyn_thr
+        rcnn_cfg["neg_iou_thr"] = dyn_thr
+        rcnn_cfg["min_pos_iou"] = dyn_thr
+        samples = sample_rois_for_training(
+            self.make_rng("sampler"), props.boxes, props.mask, gt_boxes,
+            gt_labels, gt_valid, self.num_classes,
+            target_stds=self.rcnn_target_stds, **rcnn_cfg)
+        B, S, _ = samples.rois.shape
+        roi_feats = multilevel_roi_align(
+            feats[:4], samples.rois.reshape(B * S, 5),
+            strides=self.featmap_strides)
+        cls, reg = self.bbox_head_m(roi_feats)
+        losses_out.update(bbox_head_loss(cls, reg, samples, self.num_classes))
+        return losses_out
 
 
 @DETECTORS.register

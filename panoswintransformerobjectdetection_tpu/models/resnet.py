@@ -54,6 +54,9 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 64
     expansion: int = 4
+    use_dcn: bool = False     # configs/dcn: deformable 3x3 (DCNv2)
+    use_gcb: bool = False     # configs/gcnet: ContextBlock after conv3
+    gcb_ratio: float = 1.0 / 16
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -62,14 +65,23 @@ class Bottleneck(nn.Module):
         y = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
         y = nn.relu(_bn("bn1", train)(y))
         # style='pytorch': stride on the 3x3
-        y = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
-                    padding=self.dilation, kernel_dilation=self.dilation,
-                    feature_group_count=self.groups, use_bias=False,
-                    name="conv2")(y)
+        if self.use_dcn:
+            from ..ops.deform_conv import DCN
+            y = DCN(width, kernel_size=3, stride=self.stride,
+                    use_bias=False, name="conv2")(y)
+        else:
+            y = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
+                        padding=self.dilation, kernel_dilation=self.dilation,
+                        feature_group_count=self.groups, use_bias=False,
+                        name="conv2")(y)
         y = nn.relu(_bn("bn2", train)(y))
         y = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                     name="conv3")(y)
         y = _bn("bn3", train)(y)
+        if self.use_gcb:
+            from ..ops.deform_conv import ContextBlock
+            y = ContextBlock(y.shape[-1], ratio=self.gcb_ratio,
+                             name="context_block")(y)
         if self.downsample:
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=(self.stride, self.stride),
@@ -97,6 +109,12 @@ class ResNet(nn.Module):
     groups: int = 1
     base_width: int = 64
     norm_eval: bool = True
+    # configs/dcn: dcn=dict(type='DCNv2'), stage_with_dcn=(F, T, T, T)
+    dcn: Optional[dict] = None
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    # configs/gcnet: gcb=dict(ratio=1/4.), stage_with_gcb=(F, T, T, T)
+    gcb: Optional[dict] = None
+    stage_with_gcb: Sequence[bool] = (False, False, False, False)
 
     @nn.compact
     def __call__(self, x, train=False, rfp_feats=None):
@@ -121,10 +139,16 @@ class ResNet(nn.Module):
                 stride = self.strides[i] if j == 0 else 1
                 exp = getattr(block_cls, "expansion", 1) if block_cls is Bottleneck else 1
                 need_ds = j == 0 and (stride != 1 or i > 0 or block_cls is Bottleneck)
+                extra = {}
+                if block_cls is Bottleneck:
+                    extra = dict(
+                        use_dcn=bool(self.dcn) and self.stage_with_dcn[i],
+                        use_gcb=bool(self.gcb) and self.stage_with_gcb[i],
+                        gcb_ratio=(self.gcb or {}).get("ratio", 1.0 / 16))
                 x = block_cls(planes=planes, stride=stride,
                               dilation=self.dilations[i],
                               downsample=need_ds, groups=self.groups,
-                              base_width=self.base_width,
+                              base_width=self.base_width, **extra,
                               name=f"layer{i + 1}_{j}")(x, train=bn_train)
             if rfp_feats is not None and rfp_feats[i] is not None:
                 x = x + nn.Conv(x.shape[-1], (1, 1),

@@ -76,6 +76,86 @@ class Shared2FCBBoxHead(nn.Module):
         return cls, reg
 
 
+@HEADS.register
+class Shared4Conv1FCBBoxHead(nn.Module):
+    """4x (3x3 conv + GN + relu) -> flatten -> fc -> {cls, reg}
+    (`convfc_bbox_head.py` Shared4Conv1FCBBoxHead, the configs/gn head)."""
+    num_classes: int = 80
+    conv_out_channels: int = 256
+    fc_out_channels: int = 1024
+    reg_class_agnostic: bool = False
+    norm_groups: int = 32
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, roi_feats: jnp.ndarray):
+        from .layers import resolve_dtype
+        dt = resolve_dtype(self.dtype)
+        x = roi_feats
+        if dt is not None:
+            x = x.astype(dt)
+        for i in range(4):
+            x = nn.Conv(self.conv_out_channels, (3, 3), padding=1, dtype=dt,
+                        use_bias=False, name=f"conv{i}")(x)
+            x = nn.relu(nn.GroupNorm(num_groups=self.norm_groups,
+                                     name=f"gn{i}")(x))
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(self.fc_out_channels, kernel_init=trunc_init,
+                             dtype=dt, name="shared_fc0")(x))
+        cls = nn.Dense(self.num_classes + 1, kernel_init=trunc_init, dtype=dt,
+                       name="fc_cls")(x).astype(jnp.float32)
+        reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        reg = nn.Dense(reg_dim, kernel_init=trunc_init, dtype=dt,
+                       name="fc_reg")(x).astype(jnp.float32)
+        return cls, reg
+
+
+@HEADS.register
+class DoubleConvFCBBoxHead(nn.Module):
+    """Double-Head R-CNN head (`double_bbox_head.py`, configs/double_heads):
+    a conv branch (residual bottlenecks -> GAP -> fc) predicts regression,
+    an fc branch (2 fcs) predicts classification."""
+    num_classes: int = 80
+    num_convs: int = 4
+    num_fcs: int = 2
+    conv_out_channels: int = 1024
+    fc_out_channels: int = 1024
+    reg_class_agnostic: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, roi_feats: jnp.ndarray):
+        from .layers import resolve_dtype
+        dt = resolve_dtype(self.dtype)
+        x = roi_feats
+        if dt is not None:
+            x = x.astype(dt)
+        R = x.shape[0]
+        # conv branch: 1x1 expand then residual bottlenecks
+        y = nn.Conv(self.conv_out_channels, (1, 1), dtype=dt,
+                    name="res_expand")(x)
+        for i in range(self.num_convs):
+            mid = self.conv_out_channels // 4
+            r = nn.relu(nn.Conv(mid, (1, 1), dtype=dt, name=f"res{i}_c1")(y))
+            r = nn.relu(nn.Conv(mid, (3, 3), padding=1, dtype=dt,
+                                name=f"res{i}_c2")(r))
+            r = nn.Conv(self.conv_out_channels, (1, 1), dtype=dt,
+                        name=f"res{i}_c3")(r)
+            y = nn.relu(y + r)
+        y = y.mean(axis=(1, 2))                       # GAP
+        reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        reg = nn.Dense(reg_dim, kernel_init=trunc_init, dtype=dt,
+                       name="fc_reg")(y).astype(jnp.float32)
+        # fc branch
+        z = x.reshape(R, -1)
+        for i in range(self.num_fcs):
+            z = nn.relu(nn.Dense(self.fc_out_channels, kernel_init=trunc_init,
+                                 dtype=dt, name=f"cls_fc{i}")(z))
+        cls = nn.Dense(self.num_classes + 1, kernel_init=trunc_init, dtype=dt,
+                       name="fc_cls")(z).astype(jnp.float32)
+        return cls, reg
+
+
 class RoISamples(NamedTuple):
     rois: jnp.ndarray          # (B, S, 5) sampled rois (batch idx in col 0)
     labels: jnp.ndarray        # (B, S) int — class or num_classes for bg

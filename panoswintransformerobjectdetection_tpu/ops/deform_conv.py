@@ -19,18 +19,20 @@ from ..geometry.resample import grid_sample_nhwc
 def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, weights: jnp.ndarray,
                   bias: Optional[jnp.ndarray] = None,
                   kernel_size: int = 3, dilation: int = 1,
-                  modulation: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """x: (B, H, W, C); offsets: (B, H, W, 2K) as (dy, dx) per tap
-    (mmcv channel order); weights: (K, C, Cout); modulation: (B, H, W, K)
-    pre-sigmoid or None.  Stride 1, 'same' padding.  Returns (B, H, W, Cout).
+                  modulation: Optional[jnp.ndarray] = None,
+                  stride: int = 1) -> jnp.ndarray:
+    """x: (B, H, W, C); offsets: (B, Ho, Wo, 2K) as (dy, dx) per tap
+    (mmcv channel order); weights: (K, C, Cout); modulation: (B, Ho, Wo, K)
+    pre-sigmoid or None.  'same' padding; `stride` samples the output grid
+    at strided centers (Ho = H/stride).  Returns (B, Ho, Wo, Cout).
     """
     B, H, W, C = x.shape
     k = kernel_size
     K = k * k
     assert offsets.shape[-1] == 2 * K
 
-    ys = jnp.arange(H, dtype=jnp.float32)
-    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(0, H, stride, dtype=jnp.float32)
+    xs = jnp.arange(0, W, stride, dtype=jnp.float32)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")          # (H, W)
 
     taps = []
@@ -63,21 +65,46 @@ class DCN(nn.Module):
     features: int
     kernel_size: int = 3
     modulated: bool = True
+    stride: int = 1
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
         K = self.kernel_size ** 2
         off_ch = 2 * K + (K if self.modulated else 0)
-        off = nn.Conv(off_ch, (self.kernel_size, self.kernel_size), padding="SAME",
+        off = nn.Conv(off_ch, (self.kernel_size, self.kernel_size),
+                      strides=(self.stride, self.stride), padding="SAME",
                       kernel_init=nn.initializers.zeros,
                       bias_init=nn.initializers.zeros, name="conv_offset")(x)
         offsets = off[..., :2 * K]
         mod = off[..., 2 * K:] if self.modulated else None
         w = self.param("kernel", nn.initializers.he_normal(),
                        (K, x.shape[-1], self.features))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,)) if self.use_bias else None
         return deform_conv2d(x, offsets, w, b, self.kernel_size,
-                             modulation=mod)
+                             modulation=mod, stride=self.stride)
+
+
+class ContextBlock(nn.Module):
+    """GCNet global-context block (`mmcv.cnn.ContextBlock`, configs/gcnet):
+    global attention pooling -> 1x1 bottleneck transform (LN + ReLU) ->
+    broadcast add."""
+    in_channels: int
+    ratio: float = 1.0 / 16
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        attn = nn.Conv(1, (1, 1), name="conv_mask")(x).reshape(B, H * W, 1)
+        attn = jax.nn.softmax(attn, axis=1)
+        ctx = jnp.einsum("bnc,bno->boc", x.reshape(B, H * W, C), attn)
+        planes = max(int(self.in_channels * self.ratio), 1)
+        t = nn.Dense(planes, name="channel_add_conv_0")(ctx)
+        t = nn.relu(nn.LayerNorm(name="channel_add_ln")(t))
+        t = nn.Dense(C, kernel_init=nn.initializers.zeros,
+                     name="channel_add_conv_1")(t)
+        return x + t[:, None]
 
 
 class SAC(nn.Module):

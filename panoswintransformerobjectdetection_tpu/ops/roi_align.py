@@ -240,3 +240,20 @@ def multilevel_roi_align(feats, rois: jnp.ndarray, strides=(4, 8, 16, 32),
         inv = jnp.where(lvl == l, 1.0 / float(strides[l]), inv)
     return _roi_align_packed(list(feats), rois, lvl, inv, out_size,
                              sampling_ratio, aligned, per_image=per_image)
+
+
+def generic_roi_align(feats, rois: jnp.ndarray, strides=(4, 8, 16, 32),
+                      out_size: int = 7, sampling_ratio: int = 2,
+                      aligned: bool = True) -> jnp.ndarray:
+    """GRoIE-style generic RoI extraction (`mmdet GenericRoIExtractor`,
+    configs/groie): every RoI is pooled from EVERY pyramid level at that
+    level's scale and the crops are summed (the extractor's 'sum'
+    aggregation; the reference's optional pre/post attention modules live
+    in the head configs)."""
+    out = None
+    for stride, feat in zip(strides, feats):
+        crop = roi_align(feat, rois, out_size=out_size,
+                         spatial_scale=1.0 / stride,
+                         sampling_ratio=sampling_ratio, aligned=aligned)
+        out = crop if out is None else out + crop
+    return out

@@ -146,3 +146,76 @@ class TestDeepFashion:
         from panoswintransformerobjectdetection_tpu.data.builder import DATASETS
         assert DATASETS["DeepFashionDataset"] is DeepFashionDataset
         assert len(DeepFashionDataset.CLASSES) == 15
+
+
+class TestRound2Detectors:
+    TRAIN_CFG = {
+        "rpn": {"pos_iou_thr": 0.7, "neg_iou_thr": 0.3, "min_pos_iou": 0.3,
+                "num_samples": 16, "pos_fraction": 0.5},
+        "rpn_proposal": {"nms_pre": 32, "max_per_img": 16,
+                         "iou_threshold": 0.7, "min_bbox_size": 0},
+        "rcnn": {"pos_iou_thr": 0.5, "neg_iou_thr": 0.5, "min_pos_iou": 0.5,
+                 "num_samples": 16, "pos_fraction": 0.25},
+    }
+
+    def _run_train(self, extra):
+        cfg = {"type": "FasterRCNN", "backbone": BB, "neck": NECK,
+               "num_classes": 5, "train_cfg": self.TRAIN_CFG}
+        cfg.update(extra)
+        det = build(DETECTORS, cfg)
+        b = _train_batch(None)
+        vs = det.init(jax.random.PRNGKey(0), b["images"])
+        out = det.apply(vs, **b, method=det.forward_train,
+                        rngs={"sampler": jax.random.PRNGKey(1)})
+        assert all(np.isfinite(float(v)) for v in out.values()), out
+        return out
+
+    def test_double_head_rcnn(self):
+        self._run_train({"type": "DoubleHeadRCNN"})
+
+    def test_dynamic_rcnn(self):
+        self._run_train({"type": "DynamicRCNN", "dynamic_topk": 8})
+
+    def test_groie_extractor(self):
+        self._run_train({"roi_extractor": "generic"})
+
+    def test_gn_head(self):
+        self._run_train({"bbox_head": {"type": "Shared4Conv1FCBBoxHead",
+                                       "conv_out_channels": 16,
+                                       "fc_out_channels": 32,
+                                       "norm_groups": 4}})
+
+    def test_dcn_resnet_backbone(self):
+        # deform conv in res3-res5 (configs/dcn) — forward shapes only
+        # (the bilinear sampling path is grad-checked in its own tests)
+        from panoswintransformerobjectdetection_tpu.models import BACKBONES
+        bb = build(BACKBONES, dict(
+            type="ResNet", depth=50, dcn=dict(type="DCNv2"),
+            stage_with_dcn=(False, True, True, True),
+            gcb=dict(ratio=0.25), stage_with_gcb=(False, True, True, True)))
+        x = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3)),
+                        jnp.float32)
+        vs = bb.init(jax.random.PRNGKey(0), x)
+        outs = bb.apply(vs, x)
+        assert [o.shape for o in outs] == [
+            (1, 16, 16, 256), (1, 8, 8, 512), (1, 4, 4, 1024), (1, 2, 2, 2048)]
+        # DCNv2 zero-init: offsets start at zero, so the deformable conv
+        # must behave like a dense conv at init (finite, nonzero output)
+        assert np.isfinite(np.asarray(outs[-1])).all()
+
+
+class TestPhotoMetricDistortion:
+    def test_jitters_in_range(self):
+        from panoswintransformerobjectdetection_tpu.data.transforms import (
+            PhotoMetricDistortion)
+        import random as pyrandom
+        pyrandom.seed(3)
+        img = (np.random.default_rng(0).random((32, 64, 3)) * 255)
+        out = PhotoMetricDistortion()({"img": img.copy()})["img"]
+        assert out.shape == img.shape
+        assert out.min() >= 0 and out.max() <= 255
+        changed = any(
+            not np.allclose(
+                PhotoMetricDistortion()({"img": img.copy()})["img"], img)
+            for _ in range(5))
+        assert changed

@@ -32,12 +32,18 @@ def bench(fused, variables=None):
     def run(x):
         return m.apply(variables, x)
 
-    out = run(x)
-    jax.block_until_ready(out)
+    def sync(out):
+        # block_until_ready does not sync through the axon tunnel; fetch a
+        # scalar instead
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+
+    sync(run(x))
+    sync(run(x))
     t0 = time.perf_counter()
     for _ in range(10):
         out = run(x)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / 10
     print(f"fused={fused}: {dt * 1000:.1f} ms/batch "
           f"({B / dt:.1f} img/s backbone-only)", flush=True)
