@@ -11,6 +11,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import numpy as np
 import jax
+from panoswintransformerobjectdetection_tpu.utils.profiling import hard_sync
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir",
@@ -43,13 +44,13 @@ def main():
     key = jax.random.PRNGKey(1)
 
     state, m = step(state, batch, key)
-    jax.block_until_ready(m["loss"])
+    hard_sync(m["loss"])
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch, key)
         # sync EVERY step: donated-buffer pipelining otherwise hides compute
-        jax.block_until_ready(m["loss"])
+        hard_sync(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     print(f"train step: {dt * 1000:.1f} ms/step (B={B}, {B / dt:.2f} img/s/chip)",
           flush=True)

@@ -23,6 +23,7 @@ def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
+    from panoswintransformerobjectdetection_tpu.utils.profiling import hard_sync
     from panoswintransformerobjectdetection_tpu.apis.inference import init_detector
 
     if args.config:
@@ -44,11 +45,11 @@ def main():
 
     for _ in range(args.warmup):
         out = run(images)
-    jax.block_until_ready(out)
+    hard_sync(out)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = run(images)
-    jax.block_until_ready(out)
+    hard_sync(out)
     dt = time.perf_counter() - t0
     print(f"fps: {B * args.iters / dt:.2f} img/s  "
           f"({dt / args.iters * 1000:.1f} ms/batch of {B})")
