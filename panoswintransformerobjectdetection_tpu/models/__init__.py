@@ -5,6 +5,7 @@ from . import panoswin  # noqa: F401  (registers PanoSwinTransformer)
 from . import panoswin_v2  # noqa: F401
 from . import swin  # noqa: F401
 from . import fpn  # noqa: F401
+from . import fpg  # noqa: F401
 from . import rpn_head  # noqa: F401
 from . import roi_head  # noqa: F401
 from . import mask_head  # noqa: F401
