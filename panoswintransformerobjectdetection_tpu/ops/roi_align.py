@@ -107,6 +107,10 @@ def _crop_level_per_image(feat, Wy, Wx, chunk: int = 128):
 
     def run(args):
         wy, wx = args
+        # NOTE: contracting the wider (w) axis first looked 1.5x better in
+        # an isolated microbench but measured 3x WORSE inside the full
+        # multilevel op (90 vs 28 ms) — XLA's layout/fusion choices differ
+        # in context; keep h-first
         t = jnp.einsum("bpoh,bhwc->bpowc", wy, feat,
                        preferred_element_type=jnp.float32).astype(feat.dtype)
         return jnp.einsum("bpxw,bpowc->bpoxc", wx, t,
