@@ -24,7 +24,8 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
                    accumulate_steps: int = 1, max_gt: int = 100,
                    log_interval: int = 50, checkpoint_interval: int = 1,
                    eval_fn: Optional[Callable] = None, seed: int = 0,
-                   resume_from: Optional[str] = None, hooks=None):
+                   resume_from: Optional[str] = None, hooks=None,
+                   num_workers: int = 2):
     """Returns the final TrainState."""
     import jax
     import jax.numpy as jnp
@@ -57,7 +58,8 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
     assert batch_size % nproc == 0, (batch_size, nproc)
     loader = DetDataLoader(dataset, batch_size=batch_size // nproc,
                            max_gt=max_gt, seed=seed,
-                           num_shards=nproc, shard_id=pid)
+                           num_shards=nproc, shard_id=pid,
+                           num_workers=num_workers)
     steps_per_epoch = max(len(loader), 1)
     decay_steps = tuple(int(e * steps_per_epoch) for e in decay_epochs)
 

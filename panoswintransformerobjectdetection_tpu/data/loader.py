@@ -25,7 +25,13 @@ class DetDataLoader:
                  shuffle: bool = True, size_divisor: int = 32,
                  buckets: Optional[Sequence[Tuple[int, int]]] = None,
                  seed: int = 0, num_shards: int = 1, shard_id: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True, num_workers: int = 0,
+                 prefetch: int = 2):
+        """num_workers > 0 enables threaded sample loading + background
+        batch assembly (the `workers_per_gpu` role of the reference's
+        `build_dataloader`, `mmdet/datasets/builder.py:75`) — cv2/numpy
+        release the GIL, so threads overlap the host pipeline with device
+        steps.  `prefetch` bounds the ready-batch queue."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_gt = max_gt
@@ -36,6 +42,8 @@ class DetDataLoader:
         self.num_shards = num_shards
         self.shard_id = shard_id
         self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = max(prefetch, 1)
 
     def _epoch_indices(self) -> List[int]:
         idx = list(range(len(self.dataset)))
@@ -105,16 +113,56 @@ class DetDataLoader:
             out["gt_masks"] = gt_masks
         return out
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _batch_of(self, chunk):
+        if self.num_workers > 0:
+            samples = list(self._pool.map(self.dataset.__getitem__, chunk))
+        else:
+            samples = [self.dataset[i] for i in chunk]
+        samples = [x for x in samples if x is not None]
+        if len(samples) < len(chunk):
+            return None
+        return self._collate(samples)
+
+    def _chunks(self):
         idx = self._epoch_indices()
         end = len(idx) - len(idx) % self.batch_size if self.drop_last else len(idx)
         for s in range(0, end, self.batch_size):
-            chunk = idx[s:s + self.batch_size]
-            samples = [self.dataset[i] for i in chunk]
-            samples = [x for x in samples if x is not None]
-            if len(samples) < len(chunk):
-                continue
-            yield self._collate(samples)
+            yield idx[s:s + self.batch_size]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.num_workers <= 0:
+            for chunk in self._chunks():
+                b = self._batch_of(chunk)
+                if b is not None:
+                    yield b
+            return
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+        self._pool = ThreadPoolExecutor(self.num_workers)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        DONE = object()
+
+        def producer():
+            try:
+                for chunk in self._chunks():
+                    b = self._batch_of(chunk)
+                    if b is not None:
+                        q.put(b)
+            finally:
+                q.put(DONE)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                b = q.get()
+                if b is DONE:
+                    break
+                yield b
+        finally:
+            t.join(timeout=1.0)
+            self._pool.shutdown(wait=False)
 
     def __len__(self):
         n = len(self._epoch_indices())

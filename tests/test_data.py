@@ -250,3 +250,41 @@ class TestMaskPipeline:
         assert "gt_masks" in batch
         assert batch["gt_masks"].shape[:2] == (2, 8)
         assert batch["gt_masks"].any()
+
+
+class TestLoaderPrefetch:
+    """Threaded loader (`workers_per_gpu` role) must yield the same batches
+    as the synchronous path, in order."""
+
+    class _DS:
+        def __init__(self, n=13):
+            self.flags = np.zeros(n, np.uint8)
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return {"img": np.full((8, 10, 3), i, np.float32),
+                    "gt_bboxes": np.array([[1.0, 1.0, 5.0, 5.0]], np.float32),
+                    "gt_labels": np.array([0], np.int64)}
+
+    def test_threaded_matches_sync(self):
+        from panoswintransformerobjectdetection_tpu.data.loader import (
+            DetDataLoader)
+        a = DetDataLoader(self._DS(), batch_size=3, shuffle=True, seed=7)
+        b = DetDataLoader(self._DS(), batch_size=3, shuffle=True, seed=7,
+                          num_workers=4, prefetch=2)
+        batches_a = list(a)
+        batches_b = list(b)
+        assert len(batches_a) == len(batches_b) == len(a)
+        for x, y in zip(batches_a, batches_b):
+            np.testing.assert_array_equal(x["images"], y["images"])
+            np.testing.assert_array_equal(x["gt_boxes"], y["gt_boxes"])
+
+    def test_iterating_twice(self):
+        from panoswintransformerobjectdetection_tpu.data.loader import (
+            DetDataLoader)
+        dl = DetDataLoader(self._DS(), batch_size=3, shuffle=False,
+                           num_workers=2)
+        assert len(list(dl)) == len(list(dl)) == 4

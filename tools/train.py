@@ -75,6 +75,7 @@ def main():
         work_dir=work_dir,
         total_epochs=cfg.get("runner", {}).get("max_epochs", 12),
         batch_size=cfg.get("data", {}).get("samples_per_gpu", 2),
+        num_workers=cfg.get("data", {}).get("workers_per_gpu", 2),
         base_lr=opt.get("lr", 1e-4),
         weight_decay=opt.get("weight_decay", 0.05),
         warmup_iters=sched.get("warmup_iters", 500),
