@@ -95,7 +95,7 @@ def _crop_level(feat, Wy, Wx, chunk: int = 512):
     return out.reshape(n_chunks * chunk, o, o, feat.shape[-1])[:R]
 
 
-def _crop_level_per_image(feat, Wy, Wx, chunk: int = 128):
+def _crop_level_per_image(feat, Wy, Wx, chunk: int = 512):
     """Per-image variant: crop[b,p] = Wy[b,p] @ F[b] @ Wx[b,p]^T.
 
     feat: (B, Hl, Wl, C); Wy: (B, P, o, Hl); Wx: (B, P, o, Wl).  Skips the
