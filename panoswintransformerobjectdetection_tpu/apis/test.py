@@ -37,8 +37,10 @@ def single_device_test(det, variables, dataset, *, batch_size: int = 1,
 
     paste_jit = jax.jit(paste_masks, static_argnums=(2, 3))
 
-    results = []
-    idx = 0
+    # results keyed by the record indices the loader carries through each
+    # batch, so a skipped sample misaligns loudly instead of silently
+    # shifting every subsequent detection onto the wrong image
+    by_index = {}
     for bi, batch in enumerate(loader):
         out = run(variables, jnp.asarray(batch["images"]),
                   jnp.asarray(batch["img_shapes"]),
@@ -50,9 +52,9 @@ def single_device_test(det, variables, dataset, *, batch_size: int = 1,
         scores = np.asarray(out.scores)
         labels = np.asarray(out.labels)
         mask = np.asarray(out.mask)
+        indices = batch["indices"]
         for i in range(boxes.shape[0]):
-            if idx >= len(dataset):
-                break  # loader tail padding
+            idx = int(indices[i])
             m = mask[i]
             res = {"boxes": boxes[i][m], "scores": scores[i][m],
                    "labels": labels[i][m]}
@@ -63,11 +65,16 @@ def single_device_test(det, variables, dataset, *, batch_size: int = 1,
                     mask_probs[i], jnp.asarray(boxes[i]), oh, ow))
                 res["masks"] = [rle_utils.encode(np.asarray(b) > 0)
                                 for b in bitmaps[m]]
-            results.append(res)
-            idx += 1
+            by_index[idx] = res
         if progress and bi % 50 == 0:
             print(f"eval batch {bi}/{len(loader)}")
-    return results
+    missing = [i for i in range(len(dataset)) if i not in by_index]
+    if missing:
+        raise RuntimeError(
+            f"eval loader skipped {len(missing)} sample(s) "
+            f"(first: {missing[:5]}); results would misalign with "
+            "dataset.records")
+    return [by_index[i] for i in range(len(dataset))]
 
 
 def multi_host_test(det, variables, dataset, *, batch_size: int = 1,

@@ -25,8 +25,12 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
                    log_interval: int = 50, checkpoint_interval: int = 1,
                    eval_fn: Optional[Callable] = None, seed: int = 0,
                    resume_from: Optional[str] = None, hooks=None,
-                   num_workers: int = 2):
-    """Returns the final TrainState."""
+                   num_workers: int = 2, buckets=None, pad_to=None):
+    """Returns the final TrainState.
+
+    `buckets`/`pad_to` pass through to DetDataLoader; one of them is
+    required for multi-host runs (process_count > 1) so every process pads
+    to identical global batch shapes each step."""
     import jax
     import jax.numpy as jnp
     from ..data.loader import DetDataLoader
@@ -59,7 +63,8 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
     loader = DetDataLoader(dataset, batch_size=batch_size // nproc,
                            max_gt=max_gt, seed=seed,
                            num_shards=nproc, shard_id=pid,
-                           num_workers=num_workers)
+                           num_workers=num_workers,
+                           buckets=buckets, pad_to=pad_to)
     steps_per_epoch = max(len(loader), 1)
     decay_steps = tuple(int(e * steps_per_epoch) for e in decay_epochs)
 

@@ -79,17 +79,19 @@ class CocoStyleDataset:
                 b = self._ann_to_xyxy(a, im)
                 label = self.cat_id_to_label[a["category_id"]]
                 # evaluation keeps every mapped annotation, crowd and tiny
-                # included (pycocotools loads the raw gt json;
-                # `coco.py:365` evaluates against it unfiltered)
-                if b is not None:
-                    eval_anns.append({
-                        "image_id": im["id"], "category_id": label,
-                        "bbox": [b[0], b[1], b[2] - b[0], b[3] - b[1]],
-                        "area": self._eval_area(a, b),
-                        "iscrowd": a.get("iscrowd", 0),
-                        "ignore": a.get("ignore", 0),
-                        "segmentation": a.get("segmentation"),
-                    })
+                # included (pycocotools loads the raw gt json unfiltered;
+                # `coco.py:365` evaluates against it) — so eval bboxes come
+                # straight from the raw xywh, bypassing the tiny-box gate
+                # that only applies to training targets
+                x, y, w, h = a["bbox"]
+                eval_anns.append({
+                    "image_id": im["id"], "category_id": label,
+                    "bbox": [x, y, w, h],
+                    "area": self._eval_area(a, [x, y, x + w, y + h]),
+                    "iscrowd": a.get("iscrowd", 0),
+                    "ignore": a.get("ignore", 0),
+                    "segmentation": a.get("segmentation"),
+                })
                 if a.get("iscrowd", 0):
                     # crowd regions train as ignore boxes
                     # (`coco.py _parse_ann_info` gt_bboxes_ignore)
@@ -126,8 +128,11 @@ class CocoStyleDataset:
         return float((xyxy[2] - xyxy[0]) * (xyxy[3] - xyxy[1]))
 
     def _ann_to_xyxy(self, ann, img_info):
+        """Training-box gate only (eval keeps every ann): drops degenerate
+        boxes like `custom.py _filter_imgs` / `coco.py _parse_ann_info`
+        (mmdet uses `w < 1 or h < 1`)."""
         x, y, w, h = ann["bbox"]
-        if w <= 1 or h <= 1:
+        if w < 1 or h < 1:
             return None
         return [x, y, x + w, y + h]
 

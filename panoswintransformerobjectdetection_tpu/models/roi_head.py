@@ -29,17 +29,28 @@ from .registry import HEADS
 def multilevel_roi_align(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
                          strides: Sequence[int] = (4, 8, 16, 32),
                          out_size: int = 7, finest_scale: int = 56,
-                         sampling_ratio: int = 2) -> jnp.ndarray:
+                         sampling_ratio: int = 2,
+                         block_ordered: bool = True) -> jnp.ndarray:
     """rois: (R, 5) (batch, x1, y1, x2, y2) image coords -> (R, o, o, C).
 
     Delegates to the interpolation-matrix GEMM implementation in
-    ops/roi_align.py.  When R is a multiple of the feature batch, rois are
-    block-ordered per image (every detector here builds them via
-    `rois.reshape(B*P, 5)`), so the per-image fast path applies.
+    ops/roi_align.py.
+
+    `block_ordered` is an explicit caller contract, not inferred from
+    divisibility: True promises rois are grouped per image in batch order
+    with R = B * P (the in-tree detectors all build them via
+    `rois.reshape(B * P, 5)`), enabling the per-image fast path.  Pass
+    False for interleaved or arbitrarily ordered rois — the slow path is
+    correct for any ordering.
     """
     B = feats[0].shape[0]
     R = rois.shape[0]
-    per_image = R // B if R % B == 0 and R > 0 else None
+    per_image = None
+    if block_ordered and R > 0:
+        assert R % B == 0, (
+            f"block_ordered rois require R % B == 0, got R={R} B={B}; "
+            "pass block_ordered=False for arbitrary roi ordering")
+        per_image = R // B
     return _fused_mra(list(feats), rois, strides=strides, out_size=out_size,
                       finest_scale=finest_scale, sampling_ratio=sampling_ratio,
                       per_image=per_image)

@@ -360,6 +360,43 @@ class TestDatasetEvaluate:
             StreetDataset)
         return StreetDataset(str(p), test_mode=True)
 
+    def test_tiny_gt_stays_in_eval_anns(self, tmp_path):
+        """pycocotools evaluates against the raw unfiltered gt json: a
+        sub-pixel box is dropped from TRAINING targets (mmdet's w<1/h<1
+        gate) but must stay in eval_anns, else a detection matching it
+        becomes an FP and npig shrinks (mAP_s bias)."""
+        import json
+        ann = {
+            "images": [{"id": 1, "file_name": "a.jpg",
+                        "width": 100, "height": 100}],
+            "categories": [{"id": 7, "name": "car"}],
+            "annotations": [
+                {"id": 1, "image_id": 1, "category_id": 7,
+                 "bbox": [10, 10, 0.6, 8], "area": 4.8, "iscrowd": 0},
+                {"id": 2, "image_id": 1, "category_id": 7,
+                 "bbox": [50, 50, 30, 30], "area": 900.0, "iscrowd": 0},
+            ],
+        }
+        p = tmp_path / "tiny.json"
+        p.write_text(json.dumps(ann))
+        from panoswintransformerobjectdetection_tpu.data.datasets import (
+            StreetDataset)
+        ds = StreetDataset(str(p), test_mode=True)
+        assert len(ds.records[0]["bboxes"]) == 1          # training gate
+        evs = ds.records[0]["eval_anns"]
+        assert len(evs) == 2                              # eval keeps all
+        tiny = [e for e in evs if e["bbox"][2] < 1][0]
+        assert tiny["bbox"] == [10, 10, 0.6, 8]
+        assert tiny["area"] == pytest.approx(4.8)
+        # a perfect match on the tiny gt counts as TP, detection on the
+        # big one too -> mAP 1.0 (with the old filter the tiny match was
+        # an FP and mAP dropped)
+        dets = [{"boxes": np.array([[10, 10, 10.6, 18], [50, 50, 80, 80]]),
+                 "scores": np.array([0.9, 0.8]),
+                 "labels": np.array([0, 0])}]
+        res = ds.evaluate(dets, metric="bbox")
+        assert res["bbox_mAP"] == pytest.approx(1.0)
+
     def test_bbox_evaluate_with_crowd(self, tmp_path):
         ds = self._make_dataset(tmp_path)
         # crowd ann goes to ignore, not gt

@@ -2,6 +2,7 @@
 
 import json
 import os
+import time
 
 import numpy as np
 import pytest
@@ -288,3 +289,30 @@ class TestLoaderPrefetch:
         dl = DetDataLoader(self._DS(), batch_size=3, shuffle=False,
                            num_workers=2)
         assert len(list(dl)) == len(list(dl)) == 4
+
+    def test_abandoned_iteration_reaps_producer(self):
+        """Breaking out of a prefetching epoch must stop the producer
+        thread and its pool — no leaked thread blocked on a full queue."""
+        import threading
+        from panoswintransformerobjectdetection_tpu.data.loader import (
+            DetDataLoader)
+        before = threading.active_count()
+        for _ in range(5):
+            dl = DetDataLoader(self._DS(30), batch_size=2, shuffle=False,
+                               num_workers=2, prefetch=1)
+            it = iter(dl)
+            next(it)
+            it.close()  # what `break` in a for-loop does
+        # producer threads + pool workers must all have wound down
+        deadline = time.time() + 5.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before + 1
+
+    def test_batches_carry_record_indices(self):
+        from panoswintransformerobjectdetection_tpu.data.loader import (
+            DetDataLoader)
+        dl = DetDataLoader(self._DS(7), batch_size=3, shuffle=False,
+                           drop_last=False)
+        got = [list(b["indices"]) for b in dl]
+        assert got == [[0, 1, 2], [3, 4, 5], [6]]

@@ -144,7 +144,8 @@ class TestMultiHostWiring:
         seen = []
         for sid in (0, 1):
             loader = DetDataLoader(ds, batch_size=1, shuffle=True, seed=3,
-                                   num_shards=2, shard_id=sid)
+                                   num_shards=2, shard_id=sid,
+                                   pad_to=(8, 8))
             ids = []
             for b in loader:
                 ids.extend(int(v) for v in b["images"][:, 0, 0, 0])
@@ -154,9 +155,61 @@ class TestMultiHostWiring:
         # identical shuffle order across hosts (same seed) is what makes
         # the split disjoint — assert determinism too
         again = DetDataLoader(ds, batch_size=1, shuffle=True, seed=3,
-                              num_shards=2, shard_id=0)
+                              num_shards=2, shard_id=0, pad_to=(8, 8))
         ids2 = [int(v) for b in again for v in b["images"][:, 0, 0, 0]]
         assert set(ids2) == seen[0]
+
+    def test_loader_shards_equal_batches_at_epoch_tail(self):
+        """DistributedGroupSampler semantics: when the chunk count does not
+        divide num_shards, leading chunks are repeated so every process
+        yields the SAME number of batches (a straggler host would hang the
+        per-step collective) — and len(loader) agrees without consuming
+        shared rng state."""
+        from panoswintransformerobjectdetection_tpu.data.loader import (
+            DetDataLoader)
+        ds = self._FakeDataset(10)  # batch_size=2 -> 5 chunks, 3 shards
+        loaders = [DetDataLoader(ds, batch_size=2, shuffle=True, seed=7,
+                                 num_shards=3, shard_id=sid, pad_to=(8, 8))
+                   for sid in range(3)]
+        batches = [list(ld) for ld in loaders]
+        assert [len(b) for b in batches] == [2, 2, 2]
+        assert [len(ld) for ld in loaders] == [2, 2, 2]
+        # union covers the dataset (padding repeats, never drops)
+        ids = {int(v) for bs in batches for b in bs
+               for v in b["images"][:, 0, 0, 0]}
+        assert ids == set(range(10))
+        # len() must be pure: calling it repeatedly cannot advance the
+        # shared shuffle rng (hosts may call len() different numbers of
+        # times without desyncing the chunk sequence)
+        a = DetDataLoader(ds, batch_size=2, shuffle=True, seed=9,
+                          num_shards=3, shard_id=0, pad_to=(8, 8))
+        b = DetDataLoader(ds, batch_size=2, shuffle=True, seed=9,
+                          num_shards=3, shard_id=0, pad_to=(8, 8))
+        for _ in range(5):
+            len(a)
+        ids_a = [tuple(x["images"][:, 0, 0, 0]) for x in a]
+        ids_b = [tuple(x["images"][:, 0, 0, 0]) for x in b]
+        assert ids_a == ids_b
+
+    def test_loader_sharded_training_requires_fixed_shape(self):
+        from panoswintransformerobjectdetection_tpu.data.loader import (
+            DetDataLoader)
+        with pytest.raises(ValueError, match="fixed pad shape"):
+            DetDataLoader(self._FakeDataset(4), batch_size=2, shuffle=True,
+                          num_shards=2, shard_id=0)
+
+    def test_loader_sharded_training_pads_to_one_bucket(self):
+        """All processes must emit identical shapes each step: with
+        buckets configured, sharded-shuffle batches pad to the largest
+        bucket regardless of content."""
+        from panoswintransformerobjectdetection_tpu.data.loader import (
+            DetDataLoader)
+        ds = self._FakeDataset(8)
+        loader = DetDataLoader(ds, batch_size=2, shuffle=True, seed=0,
+                               num_shards=2, shard_id=0,
+                               buckets=[(8, 8), (16, 32)])
+        shapes = {b["images"].shape[1:3] for b in loader}
+        assert shapes == {(16, 32)}
 
     def test_train_detector_wires_process_shards(self, monkeypatch, tmp_path):
         """train_detector must construct its loader with
