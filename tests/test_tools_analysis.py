@@ -144,6 +144,27 @@ class TestAnalysisTools:
         data = json.load(open(out))
         assert "table" in data and "summary" in data
 
+    def test_robustness_eval_summarizes(self, tmp_path):
+        """robustness_eval aggregates the test_robustness JSON into
+        P / mPC / rPC per metric (reference robustness_eval.py role)."""
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools", "analysis_tools"))
+        import robustness_eval
+        table = {
+            "clean": {"bbox_mAP": 0.4, "bbox_mAP_50": 0.6},
+            "fog@1": {"bbox_mAP": 0.3, "bbox_mAP_50": 0.5},
+            "fog@2": {"bbox_mAP": 0.2, "bbox_mAP_50": 0.4},
+            "snow@1": {"bbox_mAP": 0.1, "bbox_mAP_50": 0.3},
+        }
+        f = tmp_path / "r.json"
+        f.write_text(json.dumps({"table": table, "summary": {}}))
+        clean, per_corr, mpc = robustness_eval.main([str(f)])
+        assert clean["bbox_mAP"] == 0.4
+        assert per_corr["fog"]["bbox_mAP"] == pytest.approx(0.25)
+        # mPC = mean over corruptions of per-corruption severity means
+        assert mpc["bbox_mAP"] == pytest.approx((0.25 + 0.1) / 2)
+        assert mpc["bbox_mAP_50"] == pytest.approx((0.45 + 0.3) / 2)
+
     def test_error_analysis_runs(self, tool_fixture):
         cfg, tmp_path = tool_fixture
         from panoswintransformerobjectdetection_tpu.data.builder import (

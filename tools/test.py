@@ -31,9 +31,14 @@ def main(argv=None):
     p.add_argument("--classwise", action="store_true")
     p.add_argument("--out", default=None)
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--launcher", choices=["none", "jax"], default="none",
+                   help="'jax' initializes jax.distributed for multi-host "
+                        "eval (dist_test.sh role)")
     args = p.parse_args(argv)
 
     import jax
+    if args.launcher == "jax":
+        jax.distributed.initialize()
     from panoswintransformerobjectdetection_tpu.runtime.config import load_config
     from panoswintransformerobjectdetection_tpu.apis.inference import (
         init_detector)
