@@ -118,8 +118,12 @@ class WindowAttention(nn.Module):
         if not pano_mode:
             bias = jnp.broadcast_to(bias, (uv_windows.shape[0],) + bias.shape[1:])
 
-        if self.fused and mask is None:
-            from ..ops.fused_attention import fused_window_attention
+        if self.fused:
+            from ..ops.fused_attention import packed_window_attention
+            if mask is not None:
+                # fold the shifted-window mask into the additive bias so
+                # the packed kernel covers planar SW-MSA too
+                bias = bias + mask[:, None].astype(bias.dtype)
             Op = -(-O // 8) * 8
             if Op != O:
                 padqkv = ((0, 0), (0, 0), (0, Op - O), (0, 0))
@@ -130,7 +134,7 @@ class WindowAttention(nn.Module):
                 bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Op - O), (0, Op - O)),
                                constant_values=0.0)
                 bias = bias.at[..., :, O:].set(-1e9)
-            out = fused_window_attention(q, k, v, bias, scale)[:, :, :O]
+            out = packed_window_attention(q, k, v, bias, scale)[:, :, :O]
         else:
             out = _attention_core(q, k, v, bias, mask, scale)
         out = out.transpose(0, 2, 1, 3).reshape(n, O, c)

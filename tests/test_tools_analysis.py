@@ -212,3 +212,40 @@ class TestTestToolTTA:
             f.write('\ntta = dict(scales=((64, 96),), flip=True)\n')
         metrics = test_tool.main([cfg, "--eval", "bbox", "--tta"])
         assert "bbox_mAP" in metrics
+
+
+class TestDemoScripts:
+    """demo/folder_demo.py + demo/create_result_gif.py end-to-end on the
+    nano config with random weights (reference demo/lzx_infer_folder.py:1,
+    demo/create_result_gif.py:1 roles)."""
+
+    def test_folder_demo_then_gif(self, tmp_path, rng):
+        import subprocess
+        import sys as _sys
+        import cv2
+
+        img_dir = tmp_path / "imgs"
+        out_dir = tmp_path / "out"
+        img_dir.mkdir()
+        for i in range(2):
+            cv2.imwrite(str(img_dir / f"{i}.jpg"),
+                        (rng.random((64, 128, 3)) * 255).astype(np.uint8))
+        root = os.path.join(os.path.dirname(__file__), "..")
+        cfg = os.path.join(root, "configs", "panoswin",
+                           "faster_rcnn_panoswin_nano_demo.py")
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+        r = subprocess.run(
+            [_sys.executable, os.path.join(root, "demo", "folder_demo.py"),
+             str(out_dir), str(img_dir), cfg],
+            capture_output=True, text=True, env=env, timeout=900)
+        assert r.returncode == 0, r.stderr[-2000:]
+        rendered = sorted(os.listdir(out_dir))
+        assert rendered == ["0.jpg", "1.jpg"]
+
+        gif = tmp_path / "result.gif"
+        r = subprocess.run(
+            [_sys.executable, os.path.join(root, "demo", "create_result_gif.py"),
+             str(out_dir), "--out", str(gif)],
+            capture_output=True, text=True, env=env, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert gif.exists() and gif.stat().st_size > 0
