@@ -95,13 +95,31 @@ def _crop_level(feat, Wy, Wx, chunk: int = 512):
     return out.reshape(n_chunks * chunk, o, o, feat.shape[-1])[:R]
 
 
+USE_PALLAS_CROP = None  # None = auto (TPU only); True/False to force
+
+
+def _pallas_crop_enabled() -> bool:
+    if USE_PALLAS_CROP is not None:
+        return USE_PALLAS_CROP
+    import jax
+    return jax.devices()[0].platform == "tpu"
+
+
 def _crop_level_per_image(feat, Wy, Wx, chunk: int = 512):
     """Per-image variant: crop[b,p] = Wy[b,p] @ F[b] @ Wx[b,p]^T.
 
     feat: (B, Hl, Wl, C); Wy: (B, P, o, Hl); Wx: (B, P, o, Wl).  Skips the
     generic path's batch-one-hot fold (which multiplies the big GEMM's
     contraction dim by B) — valid when rois are block-ordered per image.
+
+    On TPU the two chained einsums are replaced by the fused Pallas crop
+    kernel (ops/roi_align_pallas.py), which keeps the (B, P, o, axis2, C)
+    stage-1 intermediate in VMEM instead of round-tripping ~GBs of HBM.
     """
+    if _pallas_crop_enabled():
+        from .roi_align_pallas import fused_crop_per_image, supports
+        if supports(feat, Wy, Wx):
+            return fused_crop_per_image(feat, Wy, Wx)
     B, Hl, Wl, C = feat.shape
     _, P, o, _ = Wy.shape
 

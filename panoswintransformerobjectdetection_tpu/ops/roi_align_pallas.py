@@ -1,0 +1,166 @@
+"""Fused Pallas RoIAlign crop: both interpolation GEMMs in one kernel.
+
+The XLA formulation in `ops.roi_align._crop_level_per_image` materializes
+the stage-1 intermediate t = Wy @ F in HBM — (B, P, o, axis2, C), ~1.8 GB
+bf16 at the flagship's 4,000 RoIs on the finest level — and reads it back
+for stage 2, which makes multilevel RoIAlign HBM-bound (~10 of its 16 ms
+is t traffic).  This kernel keeps t in VMEM:
+
+  grid (B, C-tiles, roi-chunks); per step the level's feature slab
+  (Hl, Wl*Ct) sits in VMEM scratch (manually DMA'd once per (b, ct) —
+  auto block double-buffering would not fit the 16 MB VMEM at level 0),
+  stage 1 is ONE MXU GEMM (o*chunk, Hl) @ (Hl, Wl*Ct), and stage 2
+  contracts Wl with a block-diagonal Wx built from static concats —
+  o GEMMs of (chunk*o, chunk*Wl) @ (chunk*Wl, Ct) per step.
+
+Layout notes (Mosaic): Ct = 128 keeps every reshape tile-preserving —
+(M, Wl*128) -> (M, Wl, 128) splits the minor dim at the lane width and
+(a, b, 128) -> (a*b, 128) collapses leading dims; neither moves data.
+Wy rows are pre-permuted to (o, chunk) i-major so stage-2 slices are
+contiguous.  HBM traffic: F once per (b, ct), weights, outputs — the
+t intermediate never leaves VMEM.
+
+Semantics are identical to `_crop_level_per_image` (validated by
+tests/test_roi_align_pallas.py and the in-tree parity check in
+tools/bench_roi_align.py):
+
+  out[b,p,i,x,c] = sum_{h,w} Wy[b,p,i,h] * Wx[b,p,x,w] * F[b,h,w,c]
+
+Backward: custom VJP that recomputes through the XLA einsum pair (same
+cost as the old forward; RoI-weight grads flow exactly as before).
+Replaces the mmcv `roi_align` CUDA kernel's role
+(`mmdet/models/roi_heads/roi_extractors/single_level_roi_extractor.py:9`).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CT = 128  # lane width; keeps all in-kernel reshapes tile-preserving
+
+
+def _xla_crop(feat, Wy, Wx):
+    t = jnp.einsum("bpoh,bhwc->bpowc", Wy, feat,
+                   preferred_element_type=jnp.float32).astype(feat.dtype)
+    return jnp.einsum("bpxw,bpowc->bpoxc", Wx, t,
+                      preferred_element_type=jnp.float32).astype(feat.dtype)
+
+
+def _kernel(F_hbm, W1_ref, W2_ref, o_ref, F_s, sem, *, o, chunk, Wl):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    r = pl.program_id(2)
+
+    @pl.when(r == 0)
+    def _():
+        cp = pltpu.make_async_copy(F_hbm.at[b, c], F_s, sem)
+        cp.start()
+        cp.wait()
+
+    W1 = W1_ref[0, 0]                                    # (o*chunk, Hl)
+    t = jax.lax.dot_general(
+        W1, F_s[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (o*chunk, Wl*CT)
+    t = t.astype(o_ref.dtype).reshape(o * chunk, Wl, CT)
+
+    # block-diagonal Wx (chunk*o, chunk*Wl): rows (p, x), cols (p, w)
+    rows = []
+    for p in range(chunk):
+        blk = W2_ref[0, 0, p]                            # (o, Wl)
+        parts = []
+        if p:
+            parts.append(jnp.zeros((o, p * Wl), blk.dtype))
+        parts.append(blk)
+        if p + 1 < chunk:
+            parts.append(jnp.zeros((o, (chunk - 1 - p) * Wl), blk.dtype))
+        rows.append(jnp.concatenate(parts, axis=1) if len(parts) > 1
+                    else blk)
+    BD = jnp.concatenate(rows, axis=0)
+
+    for i in range(o):
+        Ti = t[i * chunk:(i + 1) * chunk].reshape(chunk * Wl, CT)
+        oi = jax.lax.dot_general(
+            BD, Ti, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (chunk*o, CT)
+        o_ref[0, 0, 0, :, i] = oi.reshape(chunk, o, CT).astype(o_ref.dtype)
+
+
+def _forward(feat, Wy, Wx, chunk, interpret):
+    B, Hl, Wl, C = feat.shape
+    _, P, o, _ = Wy.shape
+    nct = C // CT
+    pad = (-P) % chunk
+    if pad:
+        Wy = jnp.concatenate(
+            [Wy, jnp.zeros((B, pad, o, Hl), Wy.dtype)], axis=1)
+        Wx = jnp.concatenate(
+            [Wx, jnp.zeros((B, pad, o, Wl), Wx.dtype)], axis=1)
+    nr = (P + pad) // chunk
+
+    # C-tiled feature slabs: (B, nct, Hl, Wl*CT)
+    F_in = feat.reshape(B, Hl, Wl, nct, CT).transpose(0, 3, 1, 2, 4)
+    F_in = F_in.reshape(B, nct, Hl, Wl * CT)
+    # stage-1 weights i-major per chunk: (B, nr, o*chunk, Hl)
+    W1 = Wy.reshape(B, nr, chunk, o, Hl).transpose(0, 1, 3, 2, 4)
+    W1 = W1.reshape(B, nr, o * chunk, Hl)
+    W2 = Wx.reshape(B, nr, chunk, o, Wl)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, o=o, chunk=chunk, Wl=Wl),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, nct, nr, chunk, o, o, CT), feat.dtype),
+        grid=(B, nct, nr),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, o * chunk, Hl),
+                         lambda b, c, r: (b, r, 0, 0)),
+            pl.BlockSpec((1, 1, chunk, o, Wl),
+                         lambda b, c, r: (b, r, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, chunk, o, o, CT),
+                               lambda b, c, r: (b, c, r, 0, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Hl, Wl * CT), feat.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(F_in, W1, W2)
+    # (B, nct, nr, chunk, o, o, CT) -> (B, P, o, o, C)
+    out = out.transpose(0, 2, 3, 4, 5, 1, 6).reshape(
+        B, nr * chunk, o, o, nct * CT)
+    return out[:, :P] if pad else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_crop_per_image(feat, Wy, Wx, chunk: int = 16,
+                         interpret: bool = False):
+    """out[b,p,i,x,c] = sum_{h,w} Wy[b,p,i,h]*Wx[b,p,x,w]*feat[b,h,w,c].
+
+    feat: (B, Hl, Wl, C) with C % 128 == 0; Wy: (B, P, o, Hl);
+    Wx: (B, P, o, Wl).  Returns (B, P, o, o, C) in feat.dtype.
+    """
+    return _forward(feat, Wy, Wx, chunk, interpret)
+
+
+def _fwd(feat, Wy, Wx, chunk, interpret):
+    return _forward(feat, Wy, Wx, chunk, interpret), (feat, Wy, Wx)
+
+
+def _bwd(chunk, interpret, res, g):
+    feat, Wy, Wx = res
+    _, vjp = jax.vjp(_xla_crop, feat, Wy, Wx)
+    return vjp(g)
+
+
+fused_crop_per_image.defvjp(_fwd, _bwd)
+
+
+def supports(feat, Wy, Wx) -> bool:
+    """Static eligibility: C a multiple of the lane width and spatial
+    extents the kernel's VMEM budget handles (flagship levels all do)."""
+    B, Hl, Wl, C = feat.shape
+    return (C % CT == 0 and Hl * Wl * CT * 2 <= 9 * 2 ** 20
+            and Wy.shape[-1] == Hl and Wx.shape[-1] == Wl)

@@ -119,6 +119,27 @@ def main():
             total += tb * (n // 2)
     print(f"sum of block marginals: {total:.1f} ms")
 
+    # between-stage glue: patch merging, out-norms, ape encoder
+    from panoswintransformerobjectdetection_tpu.models.layers import layer_norm
+
+    class OutNorm(nn.Module):
+        @nn.compact
+        def __call__(self, a):
+            return layer_norm("n")(a.astype(jnp.float32))
+
+    for si, (dim, H, W, _, _) in enumerate(stage_cfg):
+        x = jnp.asarray(np.random.default_rng(si + 20).random((B, H, W, dim)),
+                        jnp.bfloat16)
+        if si < 3:
+            pm = PatchMerging(dtype=dt)
+            pv = pm.init(rng, x[:1])
+            t = marginal(lambda a, pv=pv, pm=pm: pm.apply(pv, a), x)
+            print(f"patch_merging s{si}->s{si+1} ({H}x{W}x{dim}): {t:.2f} ms")
+        onm = OutNorm()
+        ov = onm.init(rng, x[:1])
+        t = marginal(lambda a, ov=ov, onm=onm: onm.apply(ov, a), x)
+        print(f"out-norm s{si} f32 ({H}x{W}x{dim}): {t:.2f} ms")
+
     # stage-0 sub-ops, marginal
     dim, H, W, heads = 96, 128, 256, 3
     x = jnp.asarray(np.random.default_rng(9).random((B, H, W, dim)),

@@ -65,34 +65,19 @@ def main():
     rois[..., 4] = np.minimum(y1 + h, H)
     rois = jnp.asarray(rois.reshape(B * P, 5))
 
-    base = jax.jit(lambda f, r: multilevel_roi_align(
-        f, r, per_image=P))
-    t = timeit(base, feats, rois)
-    print(f"baseline h-first per-image: {t:.1f} ms")
+    from panoswintransformerobjectdetection_tpu.ops import roi_align as ra
 
-    def transposed(f, r):
-        # swap H/W roles: transpose feats once (cheap layout op), run the
-        # same kernel on (B, Wl, Hl, C) maps with x/y swapped rois, then
-        # swap the crop's spatial axes back
-        ft = [x.transpose(0, 2, 1, 3) for x in f]
-        rt = jnp.stack([r[:, 0], r[:, 2], r[:, 1], r[:, 4], r[:, 3]], axis=1)
-        crop = multilevel_roi_align(ft, rt, per_image=P)
-        return crop.transpose(0, 2, 1, 3)
-
-    tt = timeit(jax.jit(transposed), feats, rois)
-    print(f"transposed w-first per-image: {tt:.1f} ms")
-
-    for chunk in (128, 256, 1024):
-        from panoswintransformerobjectdetection_tpu.ops import roi_align as ra
-        import functools
-        orig = ra._crop_level_per_image
-        ra._crop_level_per_image = functools.partial(orig, chunk=chunk)
-        try:
-            tc = timeit(jax.jit(lambda f, r: multilevel_roi_align(
-                f, r, per_image=P)), feats, rois)
-            print(f"baseline chunk={chunk}: {tc:.1f} ms")
-        finally:
-            ra._crop_level_per_image = orig
+    outs = {}
+    for use_pallas in (False, True):
+        ra.USE_PALLAS_CROP = use_pallas
+        fn = jax.jit(lambda f, r: multilevel_roi_align(f, r, per_image=P))
+        outs[use_pallas] = np.asarray(fn(feats, rois), np.float32)
+        t = timeit(fn, feats, rois)
+        label = "pallas fused crop" if use_pallas else "xla einsum pair"
+        print(f"{label}: {t:.1f} ms", flush=True)
+    ra.USE_PALLAS_CROP = None
+    err = np.max(np.abs(outs[True] - outs[False]))
+    print(f"pallas vs xla max|diff| = {err:.3e}")
 
 
 if __name__ == "__main__":
