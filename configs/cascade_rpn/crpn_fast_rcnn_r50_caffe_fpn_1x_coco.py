@@ -1,0 +1,3 @@
+# crpn_fast_rcnn_r50_caffe_fpn_1x_coco (reference configs/cascade_rpn/).
+_base_ = ["crpn_faster_rcnn_r50_caffe_fpn_1x_coco.py"]
+model = dict(type="FastRCNN")

@@ -1,0 +1,3 @@
+# mask_rcnn_r50_fpn_mdconv_c3-c5_1x_coco (reference configs/dcn/).
+_base_ = ["mask_rcnn_r50_fpn_dconv_c3-c5_1x_coco.py"]
+model = dict(backbone=dict(dcn=dict(type="DCNv2")))

@@ -1,0 +1,3 @@
+# cascade_rcnn_r50_rfp_1x_coco (reference configs/detectors/).
+_base_ = ["detectors_cascade_rcnn_r50_1x_coco.py"]
+# RFP-only ablation of DetectoRS (no SAC)

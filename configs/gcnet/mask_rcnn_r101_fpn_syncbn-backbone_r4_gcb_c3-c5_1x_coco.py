@@ -1,0 +1,4 @@
+# mask_rcnn_r101_fpn_syncbn-backbone_r4_gcb_c3-c5_1x_coco (reference configs/gcnet/).
+_base_ = ["mask_rcnn_r101_fpn_syncbn-backbone_1x_coco.py"]
+model = dict(backbone=dict(gcb=dict(ratio=0.25),
+                           stage_with_gcb=(False, True, True, True)))

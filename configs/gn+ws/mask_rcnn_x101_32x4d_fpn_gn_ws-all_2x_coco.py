@@ -1,0 +1,8 @@
+# mask_rcnn_x101_32x4d_fpn_gn_ws-all_2x_coco (reference configs/gn+ws/).
+_base_ = ["../mask_rcnn/mask_rcnn_r50_fpn_2x_coco.py"]
+model = dict(
+    backbone=dict(_delete_=True, type="ResNeXt", depth=101, groups=32,
+                  base_width=4, out_indices=(0, 1, 2, 3)),
+    neck=dict(in_channels=(256, 512, 1024, 2048)),
+)
+model = dict(bbox_head=dict(type="Shared4Conv1FCBBoxHead", norm_groups=32))

@@ -1,0 +1,4 @@
+# ga_retinanet_r101_caffe_fpn_1x_coco (reference configs/guided_anchoring/).
+_base_ = ["ga_retinanet_r50_fpn_1x_coco.py",
+          "../_base_/datasets/coco_detection_caffe.py"]
+model = dict(backbone=dict(depth=101, style="caffe"))

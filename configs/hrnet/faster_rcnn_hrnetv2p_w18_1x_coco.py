@@ -1,0 +1,7 @@
+# faster_rcnn_hrnetv2p_w18_1x_coco (reference configs/hrnet/).
+_base_ = ["faster_rcnn_hrnetv2p_w32_1x_coco.py"]
+model = dict(
+    backbone=dict(_delete_=True, type="HRNet", width=18),
+    neck=dict(_delete_=True, type="HRFPN", in_channels=(18, 36, 72, 144),
+              out_channels=256, num_outs=5),
+)

@@ -1,0 +1,3 @@
+# faster_rcnn_hrnetv2p_w40_2x_coco (reference configs/hrnet/).
+_base_ = ["faster_rcnn_hrnetv2p_w40_1x_coco.py",
+          "../_base_/schedules/schedule_2x.py"]

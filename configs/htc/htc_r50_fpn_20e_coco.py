@@ -1,0 +1,3 @@
+# htc_r50_fpn_20e_coco (reference configs/htc/).
+_base_ = ["htc_r50_fpn_1x_coco.py",
+          "../_base_/schedules/schedule_20e.py"]

@@ -1,0 +1,4 @@
+# htc_x101_64x4d_fpn_dconv_c3-c5_mstrain_400_1400_16x1_20e_coco (reference configs/htc/).
+_base_ = ["htc_x101_64x4d_fpn_16x1_20e_coco.py"]
+model = dict(backbone=dict(dcn=dict(type="DCN"),
+                           stage_with_dcn=(False, True, True, True)))

@@ -1,0 +1,5 @@
+# cascade_mask_rcnn_r101_fpn_instaboost_4x_coco (reference configs/instaboost/).
+_base_ = ["cascade_mask_rcnn_r50_fpn_instaboost_4x_coco.py"]
+model = dict(backbone=dict(_delete_=True, type="ResNet", depth=101,
+                           out_indices=(0, 1, 2, 3)),
+             neck=dict(in_channels=(256, 512, 1024, 2048)))

@@ -1,0 +1,4 @@
+# ssd512_voc0712 (reference configs/pascal_voc/).
+_base_ = ["../ssd/ssd512_coco.py",
+          "../_base_/datasets/voc0712.py"]
+model = dict(num_classes=20)

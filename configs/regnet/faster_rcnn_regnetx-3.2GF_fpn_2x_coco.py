@@ -1,0 +1,3 @@
+# faster_rcnn_regnetx-3.2GF_fpn_2x_coco (reference configs/regnet/).
+_base_ = ["faster_rcnn_regnetx_3.2GF_fpn_1x_coco.py",
+          "../_base_/schedules/schedule_2x.py"]

@@ -1,0 +1,8 @@
+# mask_rcnn_regnetx-12GF_fpn_1x_coco (reference configs/regnet/).
+_base_ = ["../mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py"]
+model = dict(
+    backbone=dict(_delete_=True, type="RegNet", arch="regnetx_12gf",
+                  out_indices=(0, 1, 2, 3)),
+    neck=dict(_delete_=True, type="FPN", in_channels=(224, 448, 896, 2240),
+              out_channels=256, num_outs=5),
+)

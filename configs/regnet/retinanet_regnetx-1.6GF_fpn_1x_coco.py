@@ -1,0 +1,7 @@
+# retinanet_regnetx-1.6GF_fpn_1x_coco (reference configs/regnet/).
+_base_ = ["../retinanet/retinanet_r50_fpn_1x_coco.py"]
+model = dict(
+    backbone=dict(_delete_=True, type="RegNet", arch="regnetx_1.6gf",
+                  out_indices=(1, 2, 3)),
+    neck=dict(in_channels=(72, 168, 408, 912)),
+)

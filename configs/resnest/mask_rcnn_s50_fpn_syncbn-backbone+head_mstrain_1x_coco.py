@@ -1,0 +1,21 @@
+# mask_rcnn_s50_fpn_syncbn-backbone+head_mstrain_1x_coco (reference configs/resnest/).
+_base_ = ["../mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py"]
+model = dict(
+    backbone=dict(_delete_=True, type="ResNeSt", depth=50,
+                  out_indices=(0, 1, 2, 3)),
+    neck=dict(in_channels=(256, 512, 1024, 2048)),
+)
+# multi-scale train 640-800 (reference mstrain recipes)
+train_pipeline = [
+    dict(type="LoadImageFromFile"),
+    dict(type="LoadAnnotations", with_bbox=True),
+    dict(type="RandomFlip", flip_ratio=0.5),
+    dict(type="Resize",
+         img_scale=[(640, 1333), (672, 1333), (704, 1333), (736, 1333),
+                    (768, 1333), (800, 1333)],
+         multiscale_mode="value", keep_ratio=True),
+    dict(type="Normalize", mean=[103.530, 116.280, 123.675],
+         std=[1.0, 1.0, 1.0], to_rgb=False),
+    dict(type="Pad", size_divisor=32),
+]
+data = dict(train=dict(pipeline=train_pipeline))

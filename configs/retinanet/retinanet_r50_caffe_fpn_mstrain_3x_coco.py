@@ -1,0 +1,3 @@
+# retinanet_r50_caffe_fpn_mstrain_3x_coco (reference configs/retinanet/).
+_base_ = ["retinanet_r50_caffe_fpn_mstrain_1x_coco.py",
+          "../_base_/schedules/schedule_3x.py"]

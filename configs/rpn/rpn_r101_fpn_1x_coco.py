@@ -1,0 +1,7 @@
+# rpn_r101_fpn_1x_coco (reference configs/rpn/).
+_base_ = ["rpn_r50_fpn_1x_coco.py"]
+model = dict(
+    backbone=dict(_delete_=True, type="ResNet", depth=101,
+                  out_indices=(0, 1, 2, 3)),
+    neck=dict(in_channels=(256, 512, 1024, 2048)),
+)

@@ -1,0 +1,7 @@
+# rpn_x101_64x4d_fpn_1x_coco (reference configs/rpn/).
+_base_ = ["rpn_r50_fpn_1x_coco.py"]
+model = dict(
+    backbone=dict(_delete_=True, type="ResNeXt", depth=101, groups=64,
+                  base_width=4, out_indices=(0, 1, 2, 3)),
+    neck=dict(in_channels=(256, 512, 1024, 2048)),
+)

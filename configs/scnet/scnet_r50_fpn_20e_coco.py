@@ -1,0 +1,3 @@
+# scnet_r50_fpn_20e_coco (reference configs/scnet/).
+_base_ = ["scnet_r50_fpn_1x_coco.py",
+          "../_base_/schedules/schedule_20e.py"]

@@ -1,0 +1,3 @@
+# vfnet_r101_fpn_2x_coco (reference configs/vfnet/).
+_base_ = ["vfnet_r101_fpn_1x_coco.py",
+          "../_base_/schedules/schedule_2x.py"]

@@ -54,6 +54,7 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 64
     expansion: int = 4
+    style: str = "pytorch"    # 'pytorch': stride on the 3x3; 'caffe': on the 1x1
     use_dcn: bool = False     # configs/dcn: deformable 3x3 (DCNv2)
     use_gcb: bool = False     # configs/gcnet: ContextBlock after conv3
     gcb_ratio: float = 1.0 / 16
@@ -61,16 +62,20 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        # `mmdet/models/backbones/resnet.py` Bottleneck: conv1_stride/
+        # conv2_stride swap under style='caffe'
+        s1 = self.stride if self.style == "caffe" else 1
+        s2 = 1 if self.style == "caffe" else self.stride
         identity = x
-        y = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(width, (1, 1), strides=(s1, s1), use_bias=False,
+                    name="conv1")(x)
         y = nn.relu(_bn("bn1", train)(y))
-        # style='pytorch': stride on the 3x3
         if self.use_dcn:
             from ..ops.deform_conv import DCN
-            y = DCN(width, kernel_size=3, stride=self.stride,
+            y = DCN(width, kernel_size=3, stride=s2,
                     use_bias=False, name="conv2")(y)
         else:
-            y = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
+            y = nn.Conv(width, (3, 3), strides=(s2, s2),
                         padding=self.dilation, kernel_dilation=self.dilation,
                         feature_group_count=self.groups, use_bias=False,
                         name="conv2")(y)
@@ -108,6 +113,7 @@ class ResNet(nn.Module):
     dilations: Sequence[int] = (1, 1, 1, 1)
     groups: int = 1
     base_width: int = 64
+    style: str = "pytorch"
     norm_eval: bool = True
     # configs/dcn: dcn=dict(type='DCNv2'), stage_with_dcn=(F, T, T, T)
     dcn: Optional[dict] = None
@@ -142,6 +148,7 @@ class ResNet(nn.Module):
                 extra = {}
                 if block_cls is Bottleneck:
                     extra = dict(
+                        style=self.style,
                         use_dcn=bool(self.dcn) and self.stage_with_dcn[i],
                         use_gcb=bool(self.gcb) and self.stage_with_gcb[i],
                         gcb_ratio=(self.gcb or {}).get("ratio", 1.0 / 16))
