@@ -95,14 +95,17 @@ def _crop_level(feat, Wy, Wx, chunk: int = 512):
     return out.reshape(n_chunks * chunk, o, o, feat.shape[-1])[:R]
 
 
-USE_PALLAS_CROP = None  # None = auto (TPU only); True/False to force
+USE_PALLAS_CROP = None  # None = env/default; True/False to force
 
 
 def _pallas_crop_enabled() -> bool:
+    # Default OFF until the kernel's on-chip parity/speed A/B
+    # (tools/bench_roi_align.py) has been run on real hardware; the
+    # interpret-mode tests prove semantics but not the Mosaic lowering.
     if USE_PALLAS_CROP is not None:
         return USE_PALLAS_CROP
-    import jax
-    return jax.devices()[0].platform == "tpu"
+    import os
+    return os.environ.get("PANOSWIN_PALLAS_CROP", "0") == "1"
 
 
 def _crop_level_per_image(feat, Wy, Wx, chunk: int = 512):
