@@ -3,6 +3,7 @@
 from .registry import BACKBONES, NECKS, HEADS, DETECTORS, LOSSES, build, register
 from . import panoswin  # noqa: F401  (registers PanoSwinTransformer)
 from . import panoswin_v2  # noqa: F401
+from . import panoswin_v1  # noqa: F401
 from . import swin  # noqa: F401
 from . import fpn  # noqa: F401
 from . import fpg  # noqa: F401

@@ -381,6 +381,12 @@ def convert_panoswin_v2_backbone(sd: Dict[str, Any], depths,
     return params, stats
 
 
+# The v1 revision (`panoswin_transformer_v1.py`) shares every parameter
+# name and shape with the v-variant (same stem, tables, block modules;
+# only forward semantics differ), so its converter is the same function.
+convert_panoswin_v1_backbone = convert_panoswin_v2_backbone
+
+
 def fold_batchnorm(params: Dict[str, Any], batch_stats: Dict[str, Any],
                    eps: float = 1e-5) -> Tuple[dict, dict]:
     """Fold eval-mode BatchNorm into the preceding conv for inference.

@@ -112,6 +112,24 @@ def load_reference_panoswin_v2():
         return None
 
 
+def load_reference_panoswin_v1():
+    """Import the reference's kept-around prior revision
+    `panoswin_transformer_v1.py` (torch CPU)."""
+    try:
+        if load_reference_panoswin() is None:
+            return None
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "ref_panoswin_v1",
+            REFERENCE_ROOT +
+            "/mmdet/models/backbones/panoswin_transformer_v1.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    except Exception:
+        return None
+
+
 def load_reference_swin():
     """Import the reference stock `swin_transformer.py` (torch CPU).  Its
     `from ..builder import BACKBONES` relative import can't resolve
