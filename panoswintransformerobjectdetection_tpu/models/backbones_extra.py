@@ -28,6 +28,8 @@ REGNET_ARCH: Dict[str, dict] = {
                       "groups": 48},
     "regnetx_4.0gf": {"widths": (80, 240, 560, 1360), "depths": (2, 5, 14, 2),
                       "groups": 40},
+    "regnetx_6.4gf": {"widths": (168, 392, 784, 1624), "depths": (2, 4, 10, 1),
+                      "groups": 56},
     "regnetx_8.0gf": {"widths": (80, 240, 720, 1920), "depths": (2, 5, 15, 1),
                       "groups": 120},
     "regnetx_12gf": {"widths": (224, 448, 896, 2240), "depths": (2, 5, 11, 1),

@@ -84,6 +84,8 @@ class TwoStageDetector(nn.Module):
     featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
     with_mask: bool = False
     mask_roi_size: int = 14
+    # bbox RoI crop size (14 for the C4 layout's Res5BBoxHead)
+    bbox_roi_size: int = 7
     compute_dtype: Any = None   # e.g. "bfloat16": MXU-friendly mixed precision
     # PISA (configs/pisa): ISR-P + CARL on the RoI losses; dict of
     # isr_k/isr_bias/carl_k/carl_bias/carl_weight or None
@@ -93,16 +95,26 @@ class TwoStageDetector(nn.Module):
     # (configs/gn); None keeps Shared2FC
     bbox_head: Optional[dict] = None
     # "generic" pools every RoI from EVERY pyramid level and sums
-    # (GRoIE, configs/groie); None keeps the level-routed extractor
+    # (GRoIE, configs/groie); "dpool"/"mdpool" use (modulated) deformable
+    # RoI pooling (configs/dcn); None keeps the level-routed extractor
     roi_extractor: Optional[str] = None
 
-    def _roi_extract(self, feats, flat_rois, out_size: int = 7):
+    def _roi_extract(self, feats, flat_rois, out_size: Optional[int] = None):
+        if out_size is None:
+            out_size = self.bbox_roi_size
         if self.roi_extractor == "generic":
             from ..ops.roi_align import generic_roi_align
             return generic_roi_align(feats[:4], flat_rois,
                                      strides=self.featmap_strides,
                                      out_size=out_size)
-        return multilevel_roi_align(feats[:4], flat_rois,
+        if self.roi_extractor in ("dpool", "mdpool") and \
+                out_size == self.bbox_roi_size:
+            # deformable pooling applies to the bbox extractor only
+            # (mmdet keeps the mask extractor standard)
+            return self.roi_extract_m(feats[:4], flat_rois,
+                                      strides=self.featmap_strides)
+        nlvl = min(len(self.featmap_strides), len(feats))
+        return multilevel_roi_align(feats[:nlvl], flat_rois,
                                     strides=self.featmap_strides,
                                     out_size=out_size)
 
@@ -146,6 +158,11 @@ class TwoStageDetector(nn.Module):
                                                  dtype=self.compute_dtype)
         if self.with_mask:
             self.mask_head_m = FCNMaskHead(num_classes=self.num_classes)
+        if self.roi_extractor in ("dpool", "mdpool"):
+            from .roi_head import DeformRoIPoolPack
+            self.roi_extract_m = DeformRoIPoolPack(
+                out_size=self.bbox_roi_size,
+                modulated=self.roi_extractor == "mdpool")
         self.anchor_gen = AnchorGenerator(
             strides=self.anchor_strides, ratios=self.anchor_ratios,
             scales=self.anchor_scales)

@@ -46,6 +46,16 @@ def max_pool_s2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 @NECKS.register
+class Identity(nn.Module):
+    """Pass-through neck for neck-less layouts (the reference's C4/DC5
+    configs set `neck=None`, e.g.
+    configs/faster_rcnn/faster_rcnn_r50_caffe_dc5_1x_coco.py)."""
+    @nn.compact
+    def __call__(self, feats):
+        return tuple(feats)
+
+
+@NECKS.register
 class FPN(nn.Module):
     in_channels: Sequence[int] = (96, 192, 384, 768)
     out_channels: int = 256

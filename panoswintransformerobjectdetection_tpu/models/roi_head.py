@@ -121,6 +121,76 @@ class Shared4Conv1FCBBoxHead(nn.Module):
         return cls, reg
 
 
+class DeformRoIPoolPack(nn.Module):
+    """Deformable RoI pooling extractor (`mmcv.ops.DeformRoIPoolPack` /
+    `ModulatedDeformRoIPoolPack`, configs/dcn *_dpool / *_mdpool): a
+    standard RoIAlign pass feeds a zero-initialized offset FC whose
+    per-bin (dy, dx) shifts drive a second, deformable pooling pass;
+    the modulated variant additionally scales bins by a sigmoid mask."""
+    out_size: int = 7
+    modulated: bool = False
+    gamma: float = 0.1
+    fc_channels: int = 1024
+
+    @nn.compact
+    def __call__(self, feats, flat_rois, strides=(4, 8, 16, 32)):
+        from ..ops.roi_align import multilevel_roi_align, deform_roi_pool
+        o = self.out_size
+        base = multilevel_roi_align(list(feats), flat_rois, strides=strides,
+                                    out_size=o)
+        R = base.shape[0]
+        x = base.reshape(R, -1)
+        x = nn.relu(nn.Dense(self.fc_channels, name="offset_fc0")(x))
+        off = nn.Dense(o * o * 2, kernel_init=nn.initializers.zeros,
+                       bias_init=nn.initializers.zeros,
+                       name="offset_fc1")(x).reshape(R, o, o, 2)
+        out = deform_roi_pool(list(feats), flat_rois, off, strides=strides,
+                              out_size=o, gamma=self.gamma)
+        if self.modulated:
+            m = nn.Dense(o * o, kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros,
+                         name="mask_fc")(x).reshape(R, o, o, 1)
+            out = out * jax.nn.sigmoid(m)
+        return out
+
+
+@HEADS.register
+class Res5BBoxHead(nn.Module):
+    """C4-layout RoI head: ResNet res5 (layer4) applied to 14x14 RoI
+    features as the shared head, then global average pool -> {cls, reg}
+    (`mmdet/models/roi_heads/shared_heads/res_layer.py` ResLayer +
+    `bbox_head.py` BBoxHead with_avg_pool=True, the
+    configs/faster_rcnn/*_caffe_c4 recipe)."""
+    num_classes: int = 80
+    planes: int = 512            # res5 bottleneck planes (-> 2048 out)
+    depth_blocks: int = 3        # R-50/101 layer4 depth
+    stride: int = 2              # 14x14 RoI -> 7x7
+    style: str = "caffe"
+    reg_class_agnostic: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, roi_feats: jnp.ndarray):
+        from .layers import resolve_dtype
+        from .resnet import Bottleneck
+        dt = resolve_dtype(self.dtype)
+        x = roi_feats
+        if dt is not None:
+            x = x.astype(dt)
+        for j in range(self.depth_blocks):
+            x = Bottleneck(self.planes,
+                           stride=self.stride if j == 0 else 1,
+                           downsample=(j == 0), style=self.style,
+                           name=f"res5_{j}")(x)
+        x = jnp.mean(x, axis=(1, 2))             # global average pool
+        cls = nn.Dense(self.num_classes + 1, kernel_init=trunc_init, dtype=dt,
+                       name="fc_cls")(x).astype(jnp.float32)
+        reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        reg = nn.Dense(reg_dim, kernel_init=trunc_init, dtype=dt,
+                       name="fc_reg")(x).astype(jnp.float32)
+        return cls, reg
+
+
 @HEADS.register
 class DoubleConvFCBBoxHead(nn.Module):
     """Double-Head R-CNN head (`double_bbox_head.py`, configs/double_heads):

@@ -61,29 +61,49 @@ def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, weights: jnp.ndarray,
 
 class DCN(nn.Module):
     """Modulated deformable conv block: internal offset(+mask) conv,
-    zero-initialized so it starts as a regular conv (DCNv2 practice)."""
+    zero-initialized so it starts as a regular conv (DCNv2 practice).
+    `deform_groups` > 1 predicts an independent offset field per input
+    channel group (mmcv `deform_groups`, configs/dcn *_group4)."""
     features: int
     kernel_size: int = 3
     modulated: bool = True
     stride: int = 1
     use_bias: bool = True
+    deform_groups: int = 1
 
     @nn.compact
     def __call__(self, x):
         K = self.kernel_size ** 2
-        off_ch = 2 * K + (K if self.modulated else 0)
+        g = self.deform_groups
+        off_ch = g * (2 * K + (K if self.modulated else 0))
         off = nn.Conv(off_ch, (self.kernel_size, self.kernel_size),
                       strides=(self.stride, self.stride), padding="SAME",
                       kernel_init=nn.initializers.zeros,
                       bias_init=nn.initializers.zeros, name="conv_offset")(x)
-        offsets = off[..., :2 * K]
-        mod = off[..., 2 * K:] if self.modulated else None
+        offsets = off[..., :g * 2 * K]
+        mod = off[..., g * 2 * K:] if self.modulated else None
+        C = x.shape[-1]
         w = self.param("kernel", nn.initializers.he_normal(),
-                       (K, x.shape[-1], self.features))
+                       (K, C, self.features))
         b = self.param("bias", nn.initializers.zeros,
                        (self.features,)) if self.use_bias else None
-        return deform_conv2d(x, offsets, w, b, self.kernel_size,
-                             modulation=mod, stride=self.stride)
+        if g == 1:
+            return deform_conv2d(x, offsets, w, b, self.kernel_size,
+                                 modulation=mod, stride=self.stride)
+        cg = C // g
+        out = None
+        for i in range(g):
+            y = deform_conv2d(
+                x[..., i * cg:(i + 1) * cg],
+                offsets[..., i * 2 * K:(i + 1) * 2 * K],
+                w[:, i * cg:(i + 1) * cg], None, self.kernel_size,
+                modulation=(mod[..., i * K:(i + 1) * K]
+                            if mod is not None else None),
+                stride=self.stride)
+            out = y if out is None else out + y
+        if b is not None:
+            out = out + b
+        return out
 
 
 class ContextBlock(nn.Module):

@@ -283,6 +283,52 @@ def multilevel_roi_align(feats, rois: jnp.ndarray, strides=(4, 8, 16, 32),
                              sampling_ratio, aligned, per_image=per_image)
 
 
+def deform_roi_pool(feats, rois: jnp.ndarray, offsets: jnp.ndarray,
+                    strides=(4, 8, 16, 32), out_size: int = 7,
+                    finest_scale: int = 56, sampling_ratio: int = 2,
+                    gamma: float = 0.1) -> jnp.ndarray:
+    """Deformable RoI pooling (`mmcv.ops.DeformRoIPool` role, the
+    configs/dcn *_dpool recipes): every output bin is shifted by a
+    learned offset scaled by gamma * roi size before pooling.
+
+    Formulated TPU-natively: each shifted bin IS a 1-bin RoI, so the op
+    expands to R*out_size^2 single-bin RoIs routed at the PARENT roi's
+    pyramid level and runs through the same interpolation-matrix GEMM
+    kernel as standard RoIAlign — identical FLOPs, no gathers.
+
+    offsets: (R, o, o, 2) as (dy, dx) in roi-normalized units (the
+    offset-fc output); rois: (R, 5) = (batch, x1, y1, x2, y2).
+    """
+    R = rois.shape[0]
+    o = out_size
+    L = len(feats)
+    w_roi = rois[:, 3] - rois[:, 1]
+    h_roi = rois[:, 4] - rois[:, 2]
+    scale_sz = jnp.sqrt(jnp.clip(w_roi * h_roi, 0.0, None))
+    lvl = jnp.floor(jnp.log2(scale_sz / finest_scale + 1e-6)).astype(jnp.int32)
+    lvl = jnp.clip(lvl, 0, L - 1)
+    inv = jnp.zeros(lvl.shape, jnp.float32)
+    for l in range(L):
+        inv = jnp.where(lvl == l, 1.0 / float(strides[l]), inv)
+
+    bw = (w_roi / o)[:, None, None]
+    bh = (h_roi / o)[:, None, None]
+    jj = jnp.arange(o, dtype=jnp.float32)[None, None, :]
+    ii = jnp.arange(o, dtype=jnp.float32)[None, :, None]
+    dy = offsets[..., 0] * gamma * h_roi[:, None, None]
+    dx = offsets[..., 1] * gamma * w_roi[:, None, None]
+    x1b = rois[:, 1][:, None, None] + jj * bw + dx
+    y1b = rois[:, 2][:, None, None] + ii * bh + dy
+    bidx = jnp.broadcast_to(rois[:, 0][:, None, None], x1b.shape)
+    bin_rois = jnp.stack([bidx, x1b, y1b, x1b + bw, y1b + bh],
+                         axis=-1).reshape(R * o * o, 5)
+    lvl_b = jnp.repeat(lvl, o * o)
+    inv_b = jnp.repeat(inv, o * o)
+    crop = _roi_align_packed(list(feats), bin_rois, lvl_b, inv_b, 1,
+                             sampling_ratio, True, per_image=None)
+    return crop.reshape(R, o, o, feats[0].shape[-1])
+
+
 def generic_roi_align(feats, rois: jnp.ndarray, strides=(4, 8, 16, 32),
                       out_size: int = 7, sampling_ratio: int = 2,
                       aligned: bool = True) -> jnp.ndarray:

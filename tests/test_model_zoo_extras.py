@@ -219,3 +219,56 @@ class TestPhotoMetricDistortion:
                 PhotoMetricDistortion()({"img": img.copy()})["img"], img)
             for _ in range(5))
         assert changed
+
+
+class TestDeformRoIPool:
+    def test_zero_offsets_match_roi_align(self, rng):
+        """deform_roi_pool with zero offsets must equal standard RoIAlign
+        (the mmcv DeformRoIPool init condition: zero-init offset fc)."""
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.ops.roi_align import (
+            multilevel_roi_align, deform_roi_pool)
+        feats = [jnp.asarray(rng.random((2, 32 // s, 64 // s, 8)),
+                             jnp.float32) for s in (1, 2, 4, 8)]
+        rois = jnp.asarray(
+            [[0, 4.0, 2.0, 40.0, 20.0], [1, 10.0, 5.0, 30.0, 28.0],
+             [0, 0.0, 0.0, 63.0, 31.0]], jnp.float32)
+        base = multilevel_roi_align(feats, rois, strides=(4, 8, 16, 32),
+                                    out_size=7)
+        off = jnp.zeros((3, 7, 7, 2), jnp.float32)
+        dp = deform_roi_pool(feats, rois, off, strides=(4, 8, 16, 32),
+                             out_size=7)
+        err = float(jnp.abs(base - dp).max())
+        assert err < 1e-5, err
+
+    def test_offsets_shift_output(self, rng):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.ops.roi_align import (
+            deform_roi_pool)
+        feats = [jnp.asarray(rng.random((1, 32 // s, 64 // s, 4)),
+                             jnp.float32) for s in (1, 2, 4, 8)]
+        rois = jnp.asarray([[0, 8.0, 8.0, 40.0, 24.0]], jnp.float32)
+        z = deform_roi_pool(feats, rois, jnp.zeros((1, 7, 7, 2)),
+                            strides=(4, 8, 16, 32))
+        s = deform_roi_pool(feats, rois, jnp.ones((1, 7, 7, 2)),
+                            strides=(4, 8, 16, 32))
+        assert float(jnp.abs(z - s).max()) > 1e-6
+
+
+class TestDCNDeformGroups:
+    def test_group4_zero_init_matches_dense_conv(self, rng):
+        """deform_groups=4 with zero-init offsets reduces to a plain conv."""
+        import jax
+        import jax.numpy as jnp
+        import flax.linen as nn
+        from panoswintransformerobjectdetection_tpu.ops.deform_conv import DCN
+        x = jnp.asarray(rng.random((1, 10, 12, 8)), jnp.float32)
+        m = DCN(6, deform_groups=4, modulated=False)
+        vs = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(vs, x)
+        k = vs["params"]["kernel"].reshape(3, 3, 8, 6)
+        ref = nn.Conv(6, (3, 3), padding="SAME").apply(
+            {"params": {"kernel": k,
+                        "bias": vs["params"]["bias"]}}, x)
+        err = float(jnp.abs(y - ref).max())
+        assert err < 1e-4, err

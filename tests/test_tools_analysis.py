@@ -233,11 +233,14 @@ class TestDemoScripts:
         root = os.path.join(os.path.dirname(__file__), "..")
         cfg = os.path.join(root, "configs", "panoswin",
                            "faster_rcnn_panoswin_nano_demo.py")
-        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+                   JAX_COMPILATION_CACHE_DIR=os.path.join(root, ".jax_cache"))
+        # generous timeout: under a loaded full-suite run the subprocess
+        # compile can take many minutes on shared CPUs
         r = subprocess.run(
             [_sys.executable, os.path.join(root, "demo", "folder_demo.py"),
              str(out_dir), str(img_dir), cfg],
-            capture_output=True, text=True, env=env, timeout=900)
+            capture_output=True, text=True, env=env, timeout=2400)
         assert r.returncode == 0, r.stderr[-2000:]
         rendered = sorted(os.listdir(out_dir))
         assert rendered == ["0.jpg", "1.jpg"]
