@@ -234,3 +234,173 @@ class SABLRetinaNet(nn.Module):
                              jnp.where(r.mask, lab, -1), r.mask)
 
         return jax.vmap(one)(bx, top_s, li, valid)
+
+
+@HEADS.register
+class SABLHead(nn.Module):
+    """Two-stage SABL RCNN bbox head (`mmdet/models/roi_heads/bbox_heads/
+    sabl_head.py`, configs/sabl/sabl_faster_rcnn_*): classification via
+    2 FCs; localization per axis by squeezing the RoI grid to a 1-D
+    profile, conv stack, x2 upsample to `num_buckets` positions, then
+    per-side bucket classification + in-bucket offset regression
+    (BucketingBBoxCoder num_buckets=14, scale_factor=1.7)."""
+    num_classes: int = 80
+    num_buckets: int = 14
+    cls_out_channels: int = 1024
+    reg_channels: int = 256
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, roi_feats):
+        """roi_feats: (R, o, o, C) ->
+        (cls (R, C+1), side_logits (R, 4, K), side_offsets (R, 4, K))
+        with side order (x1, y1, x2, y2) matching bucket_encode."""
+        dt = resolve_dtype(self.dtype)
+        R, o, _, C = roi_feats.shape
+        x = roi_feats if dt is None else roi_feats.astype(dt)
+        # cls branch
+        c = x.reshape(R, -1)
+        c = nn.relu(nn.Dense(self.cls_out_channels, dtype=dt,
+                             name="cls_fc0")(c))
+        cls = nn.Dense(self.num_classes + 1, dtype=dt,
+                       name="fc_cls")(c).astype(jnp.float32)
+        # per-axis reg branches: squeeze -> conv x2 -> upsample x2 -> conv
+        outs = {}
+        for axis, name in ((1, "x"), (2, "y")):
+            f = x.mean(axis=axis)                      # (R, o, C)
+            for i in range(2):
+                f = nn.relu(nn.Conv(self.reg_channels, (3,), padding=1,
+                                    dtype=dt, name=f"{name}_pre{i}")(f))
+            f = nn.relu(nn.ConvTranspose(self.reg_channels, (2,),
+                                         strides=(2,), dtype=dt,
+                                         name=f"{name}_up")(f))  # (R, 2o, C')
+            f = nn.relu(nn.Conv(self.reg_channels, (3,), padding=1,
+                                dtype=dt, name=f"{name}_post")(f))
+            # 2 sides per axis: bucket cls + offset per upsampled position
+            sc = nn.Conv(2, (1,), name=f"{name}_side_cls")(f)   # (R, K, 2)
+            so = nn.Conv(2, (1,), name=f"{name}_side_off")(f)
+            outs[name] = (sc.astype(jnp.float32), so.astype(jnp.float32))
+        K = 2 * o
+        assert K == self.num_buckets, (K, self.num_buckets)
+        side_logits = jnp.stack(
+            [outs["x"][0][..., 0], outs["y"][0][..., 0],
+             outs["x"][0][..., 1], outs["y"][0][..., 1]], axis=1)  # (R,4,K)
+        side_offsets = jnp.stack(
+            [outs["x"][1][..., 0], outs["y"][1][..., 0],
+             outs["x"][1][..., 1], outs["y"][1][..., 1]], axis=1)
+        return cls, side_logits, side_offsets
+
+
+@DETECTORS.register
+class SABLFasterRCNN(nn.Module):
+    """Faster R-CNN with the SABL RCNN head
+    (configs/sabl/sabl_faster_rcnn_r50_fpn_1x_coco.py).  Wraps the
+    standard TwoStageDetector RPN/proposal/sampling machinery and swaps
+    the RoI head's delta coder for the bucketing coder."""
+    backbone: Any
+    num_classes: int = 80
+    neck: Optional[Any] = None
+    num_buckets: int = 14
+    scale_factor: float = 1.7
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    compute_dtype: Any = None
+
+    def setup(self):
+        from .detectors import TwoStageDetector
+        self.inner = TwoStageDetector(
+            backbone=self.backbone, num_classes=self.num_classes,
+            neck=self.neck, train_cfg=self.train_cfg,
+            test_cfg=self.test_cfg, compute_dtype=self.compute_dtype,
+            name="two_stage")
+        self.sabl_head = SABLHead(num_classes=self.num_classes,
+                                  num_buckets=self.num_buckets,
+                                  dtype=self.compute_dtype)
+
+    def __call__(self, images, train: bool = False):
+        feats = self.inner.extract_feat(images, train=train)
+        rpn_out = self.inner.rpn_m(feats)
+        B = images.shape[0]
+        dummy = jnp.zeros((B * 8, 5), jnp.float32)
+        roi_feats = self.inner._roi_extract(feats, dummy)
+        return self.sabl_head(roi_feats)
+
+    def forward_train(self, images, img_shapes, gt_boxes, gt_labels,
+                      gt_valid, gt_masks=None, pano_ratio_v=None):
+        from .detectors import default_train_cfg
+        from .roi_head import sample_rois_for_training
+        from .rpn_head import rpn_loss, rpn_proposals
+        from ..core.bbox import delta_decode
+        tc = self.train_cfg or default_train_cfg()
+        inner = self.inner
+        feats = inner.extract_feat(images, train=True)
+        cls_scores, bbox_preds = inner.rpn_m(feats)
+        level_anchors, anchors = inner._anchors(cls_scores)
+        rng = self.make_rng("sampler")
+        rng_rpn, rng_rcnn = jax.random.split(rng)
+        losses_out = rpn_loss(cls_scores, bbox_preds, anchors, gt_boxes,
+                              gt_valid, rng_rpn,
+                              target_stds=inner.rpn_target_stds, **tc["rpn"])
+        props = jax.tree_util.tree_map(
+            jax.lax.stop_gradient,
+            rpn_proposals(cls_scores, bbox_preds, level_anchors, img_shapes,
+                          target_stds=inner.rpn_target_stds,
+                          **tc["rpn_proposal"]))
+        samples = sample_rois_for_training(
+            rng_rcnn, props.boxes, props.mask, gt_boxes, gt_labels, gt_valid,
+            self.num_classes, target_stds=inner.rcnn_target_stds,
+            **tc["rcnn"])
+        B, S, _ = samples.rois.shape
+        flat_rois = samples.rois.reshape(B * S, 5)
+        cls, slog, soff = self.sabl_head(inner._roi_extract(feats, flat_rois))
+        labels = samples.labels.reshape(-1)
+        lw = samples.label_weights.reshape(-1)
+        losses_out["loss_cls"] = losses.cross_entropy(
+            cls, labels, weight=lw, avg_factor=jnp.maximum(lw.sum(), 1.0))
+        # recover matched gt boxes from the delta targets, then bucket-encode
+        gt_match = delta_decode(flat_rois[:, 1:5],
+                                samples.bbox_targets.reshape(-1, 4),
+                                stds=inner.rcnn_target_stds)
+        blab, boff = bucket_encode(flat_rois[:, 1:5], gt_match,
+                                   self.num_buckets, self.scale_factor)
+        bw = samples.bbox_weights.reshape(-1)
+        K = self.num_buckets
+        onehot = jax.nn.one_hot(blab, K)                       # (N, 4, K)
+        navg = jnp.maximum(bw.sum(), 1.0)
+        losses_out["loss_bbox_cls"] = losses.binary_cross_entropy(
+            slog, onehot, weight=bw[:, None, None], avg_factor=navg * 4 * K)
+        off_pred = jnp.take_along_axis(soff, blab[..., None], -1)[..., 0]
+        losses_out["loss_bbox_reg"] = losses.smooth_l1_loss(
+            off_pred, boff, beta=0.1, weight=bw[:, None],
+            avg_factor=navg * 4)
+        return losses_out
+
+    def simple_test(self, images, img_shapes, scale_factors=None,
+                    pano_ratio_v=None):
+        from .detectors import default_test_cfg
+        from .rpn_head import rpn_proposals
+        from .roi_head import bbox_head_detections
+        from ..core.bbox import delta_encode
+        cfg = self.test_cfg or default_test_cfg()
+        inner = self.inner
+        feats = inner.extract_feat(images, train=False)
+        cls_scores, bbox_preds = inner.rpn_m(feats)
+        level_anchors, _ = inner._anchors(cls_scores)
+        props = rpn_proposals(cls_scores, bbox_preds, level_anchors,
+                              img_shapes, target_stds=inner.rpn_target_stds,
+                              **cfg["rpn"])
+        B, P, _ = props.boxes.shape
+        bidx = jnp.broadcast_to(
+            jnp.arange(B, dtype=images.dtype)[:, None], (B, P))
+        rois = jnp.concatenate([bidx[..., None], props.boxes], axis=-1)
+        flat = rois.reshape(B * P, 5)
+        cls, slog, soff = self.sabl_head(inner._roi_extract(feats, flat))
+        boxes = bucket_decode(flat[:, 1:5], slog, soff, self.num_buckets,
+                              self.scale_factor)
+        # express the decoded boxes as class-agnostic deltas so the
+        # standard decode+multiclass-NMS path applies unchanged
+        reg = delta_encode(flat[:, 1:5], boxes, stds=inner.rcnn_target_stds)
+        return bbox_head_detections(
+            cls.reshape(B, P, -1), reg.reshape(B, P, 4), rois, img_shapes,
+            self.num_classes, target_stds=inner.rcnn_target_stds,
+            roi_mask=props.mask, scale_factors=scale_factors, **cfg["rcnn"])

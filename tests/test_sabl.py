@@ -49,3 +49,42 @@ def test_sabl_train_and_test(rng):
     res = det.apply(v, imgs, shapes, jnp.ones((B, 4), jnp.float32),
                     method=det.simple_test)
     assert res.boxes.shape == (B, 100, 4)
+
+
+class TestSABLFasterRCNN:
+    """Two-stage SABL (configs/sabl/sabl_faster_rcnn_*): bucketing coder
+    on the RCNN head."""
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.models.registry import (
+            DETECTORS, build)
+        det = build(DETECTORS, dict(
+            type="SABLFasterRCNN",
+            backbone=dict(type="ResNet", depth=50, out_indices=(0, 1, 2, 3)),
+            neck=dict(type="FPN", in_channels=(256, 512, 1024, 2048),
+                      out_channels=256, num_outs=5),
+            num_classes=5))
+        img = jnp.zeros((1, 64, 128, 3))
+        shapes = jnp.array([[64.0, 128.0]])
+        return det, img, shapes
+
+    def test_train_and_test(self):
+        import jax
+        import jax.numpy as jnp
+        det, img, shapes = self._build()
+        gtb = jnp.array([[[4., 4., 40., 30.], [10., 8., 50., 28.]]])
+        gtl = jnp.array([[1, 2]])
+        gtv = jnp.array([[True, True]])
+        vs = det.init({"params": jax.random.PRNGKey(0),
+                       "sampler": jax.random.PRNGKey(1)},
+                      img, shapes, gtb, gtl, gtv, method=det.forward_train)
+        out = det.apply(vs, img, shapes, gtb, gtl, gtv,
+                        method=det.forward_train,
+                        rngs={"sampler": jax.random.PRNGKey(2)})
+        for k in ("loss_cls", "loss_bbox_cls", "loss_bbox_reg",
+                  "loss_rpn_cls", "loss_rpn_bbox"):
+            assert k in out and bool(jnp.isfinite(out[k]))
+        res = det.apply(vs, img, shapes, method=det.simple_test)
+        assert res.boxes.shape[-1] == 4
