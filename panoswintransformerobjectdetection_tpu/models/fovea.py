@@ -31,6 +31,10 @@ class FoveaHead(nn.Module):
     num_classes: int = 80
     feat_channels: int = 256
     stacked_convs: int = 4
+    # FoveaBox align variant (configs/foveabox fovea_align_*): a
+    # deformable FeatureAlign conv on the cls tower whose offsets are
+    # predicted from the (detached-scale) bbox output, deform_groups=4
+    with_deform: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -48,15 +52,30 @@ class FoveaHead(nn.Module):
                           bias_init=nn.initializers.constant(-4.595),
                           name="fovea_cls")
         reg_out = nn.Conv(4, (3, 3), padding=1, dtype=dt, name="fovea_reg")
+        if self.with_deform:
+            offset_conv = nn.Conv(2 * 9, (1, 1),
+                                  kernel_init=nn.initializers.zeros,
+                                  bias_init=nn.initializers.zeros,
+                                  name="align_offset")
+            align_kernel = self.param(
+                "align_kernel", nn.initializers.he_normal(),
+                (9, self.feat_channels, self.feat_channels))
         cls_o, reg_o = [], []
         for f in feats:
             c = r = f if dt is None else f.astype(dt)
-            for conv, gn in cls_convs:
-                c = nn.relu(gn(conv(c)))
             for conv, gn in reg_convs:
                 r = nn.relu(gn(conv(r)))
+            reg_pred = reg_out(r).astype(jnp.float32)
+            if self.with_deform:
+                # FeatureAlign (`fovea_head.py` with_deform): offsets from
+                # the bbox prediction reshape the cls receptive field
+                from ..ops.deform_conv import deform_conv2d
+                off = offset_conv(jax.lax.stop_gradient(reg_pred))
+                c = nn.relu(deform_conv2d(c, off, align_kernel))
+            for conv, gn in cls_convs:
+                c = nn.relu(gn(conv(c)))
             cls_o.append(cls_out(c).astype(jnp.float32))
-            reg_o.append(reg_out(r).astype(jnp.float32))
+            reg_o.append(reg_pred)
         return tuple(cls_o), tuple(reg_o)
 
 
@@ -105,6 +124,7 @@ class FOVEA(nn.Module):
     neck: Optional[Any] = None
     strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     sigma: float = 0.4
+    with_deform: bool = False
     compute_dtype: Any = None
 
     def setup(self):
@@ -115,6 +135,7 @@ class FOVEA(nn.Module):
             "add_extra_convs": True})
         self.neck_m = build(NECKS, neck_cfg)
         self.head_m = FoveaHead(num_classes=self.num_classes,
+                                with_deform=self.with_deform,
                                 dtype=self.compute_dtype)
 
     def __call__(self, images, train: bool = False):

@@ -67,6 +67,10 @@ class RetinaNet(nn.Module):
     # {"type": "GHMR", ...}; None keeps focal + L1
     loss_cls: Optional[dict] = None
     loss_bbox: Optional[dict] = None
+    # PISA (configs/pisa pisa_retinanet_*): ISR-P importance reweighting of
+    # the positive regression loss + CARL term; dict of isr_k/isr_bias/
+    # carl_k/carl_bias/carl_weight or None
+    pisa: Optional[dict] = None
 
     def setup(self):
         bb = dict(self.backbone)
@@ -117,9 +121,12 @@ class RetinaNet(nn.Module):
             weights = (assigned >= 0).astype(jnp.float32)
             targets = jax.lax.stop_gradient(
                 delta_encode(anchors, gts[gt_idx], stds=self.target_stds))
-            return labels, weights, targets, pos
+            miou = jnp.where(pos, jnp.where(gvalid[:, None], ious, -1).max(0),
+                             0.0)
+            return labels, weights, targets, pos, miou
 
-        labels, weights, targets, pos = jax.vmap(single)(gt_boxes, gt_labels, gt_valid)
+        labels, weights, targets, pos, mious = jax.vmap(single)(
+            gt_boxes, gt_labels, gt_valid)
         num_pos = jnp.maximum(pos.sum(), 1.0)
         if self.loss_cls and self.loss_cls.get("type") == "GHMC":
             loss_cls = losses.ghm_c_loss(
@@ -131,6 +138,21 @@ class RetinaNet(nn.Module):
                 cls, labels, self.num_classes, weight=weights,
                 avg_factor=num_pos)
         pw = pos[..., None].astype(jnp.float32)
+        out_extra = {}
+        if self.pisa:
+            pflat = pos.reshape(-1).astype(jnp.float32)
+            isr = losses.isr_weights(
+                mious.reshape(-1), pflat, k=self.pisa.get("isr_k", 2.0),
+                bias=self.pisa.get("isr_bias", 0.0)).reshape(pos.shape)
+            pw = pw * isr[..., None]
+            carl = losses.carl_weights(
+                cls.reshape(-1, C), labels.reshape(-1), pflat,
+                self.num_classes, k=self.pisa.get("carl_k", 1.0),
+                bias=self.pisa.get("carl_bias", 0.2), sigmoid=True)
+            out_extra["loss_carl"] = losses.l1_loss(
+                reg, targets,
+                weight=carl.reshape(pos.shape)[..., None],
+                avg_factor=num_pos) * self.pisa.get("carl_weight", 1.0)
         if self.loss_bbox and self.loss_bbox.get("type") == "GHMR":
             loss_bbox = losses.ghm_r_loss(
                 reg, targets, mu=self.loss_bbox.get("mu", 0.02),
@@ -139,7 +161,7 @@ class RetinaNet(nn.Module):
         else:
             loss_bbox = losses.l1_loss(reg, targets, weight=pw,
                                        avg_factor=num_pos)
-        return {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+        return {"loss_cls": loss_cls, "loss_bbox": loss_bbox, **out_extra}
 
     def simple_test(self, images, img_shapes, scale_factors=None,
                     *, nms_pre=1000, score_thr=0.05, iou_threshold=0.5,

@@ -97,6 +97,8 @@ class SSD(nn.Module):
     input_size: int = 300
     target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
     neg_pos_ratio: int = 3
+    # PISA (configs/pisa pisa_ssd*): ISR-P + CARL on the matched anchors
+    pisa: Optional[dict] = None
 
     def setup(self):
         self.backbone_m = build(BACKBONES, dict(self.backbone))
@@ -138,9 +140,12 @@ class SSD(nn.Module):
             labels = jnp.where(pos, glabels[gidx], self.num_classes)
             targets = jax.lax.stop_gradient(
                 delta_encode(anchors, gts[gidx], stds=self.target_stds))
-            return labels, targets, pos
+            miou = jnp.where(pos, jnp.where(gvalid[:, None], ious, -1).max(0),
+                             0.0)
+            return labels, targets, pos, miou
 
-        labels, targets, pos = jax.vmap(single)(gt_boxes, gt_labels, gt_valid)
+        labels, targets, pos, mious = jax.vmap(single)(
+            gt_boxes, gt_labels, gt_valid)
         n_pos = jnp.maximum(pos.sum(), 1.0)
 
         # hard negative mining: keep the 3*n_pos highest-loss negatives
@@ -156,10 +161,26 @@ class SSD(nn.Module):
 
         w = (pos | neg_keep).astype(jnp.float32)
         loss_cls = (nll * w).sum() / n_pos
+        reg_w = pos[..., None].astype(jnp.float32)
+        out_extra = {}
+        if self.pisa:
+            pflat = pos.reshape(-1).astype(jnp.float32)
+            isr = losses.isr_weights(
+                mious.reshape(-1), pflat, k=self.pisa.get("isr_k", 2.0),
+                bias=self.pisa.get("isr_bias", 0.0)).reshape(pos.shape)
+            reg_w = reg_w * isr[..., None]
+            carl = losses.carl_weights(
+                cls.reshape(-1, cls.shape[-1]), labels.reshape(-1), pflat,
+                self.num_classes, k=self.pisa.get("carl_k", 1.0),
+                bias=self.pisa.get("carl_bias", 0.2))
+            out_extra["loss_carl"] = losses.smooth_l1_loss(
+                reg, targets, beta=1.0,
+                weight=carl.reshape(pos.shape)[..., None],
+                avg_factor=n_pos) * self.pisa.get("carl_weight", 1.0)
         loss_bbox = losses.smooth_l1_loss(
-            reg, targets, beta=1.0, weight=pos[..., None].astype(jnp.float32),
+            reg, targets, beta=1.0, weight=reg_w,
             avg_factor=n_pos)
-        return {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+        return {"loss_cls": loss_cls, "loss_bbox": loss_bbox, **out_extra}
 
     def simple_test(self, images, img_shapes, scale_factors=None,
                     *, score_thr=0.02, iou_threshold=0.45,
