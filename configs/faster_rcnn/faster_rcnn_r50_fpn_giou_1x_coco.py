@@ -1,0 +1,6 @@
+# faster_rcnn_r50_fpn_giou_1x_coco (reference configs/faster_rcnn/):
+# giou regression loss on the RCNN head (loss weight 10 per the
+# reference recipe).
+_base_ = ["faster_rcnn_r50_fpn_1x_coco.py"]
+model = dict(train_cfg=dict(rcnn=dict(reg_loss="giou",
+                                      reg_loss_weight=10.0)))

@@ -1,0 +1,5 @@
+# faster_rcnn_r50_fpn_soft_nms_1x_coco (reference configs/faster_rcnn/).
+_base_ = ["faster_rcnn_r50_fpn_1x_coco.py"]
+model = dict(test_cfg=dict(rcnn=dict(
+    score_thr=0.05, iou_threshold=0.5, max_per_img=100,
+    nms_type="soft_nms")))

@@ -232,16 +232,42 @@ class TwoStageDetector(nn.Module):
                           img_shapes, target_stds=self.rpn_target_stds,
                           **tc["rpn_proposal"]))
 
+        rcnn_cfg = dict(tc["rcnn"])
+        sampler_kind = rcnn_cfg.pop("sampler", "random")
+        reg_loss = rcnn_cfg.pop("reg_loss", "l1")
+        reg_loss_weight = rcnn_cfg.pop("reg_loss_weight", 1.0)
+        if sampler_kind == "ohem":
+            # OHEM (`samplers/ohem_sampler.py` role, fixed-shape variant):
+            # draw a 2x random pool, then keep only the hardest half of the
+            # negatives by current head CE loss via weight masking
+            rcnn_cfg["num_samples"] = rcnn_cfg.get("num_samples", 512) * 2
         samples = sample_rois_for_training(
             rng_rcnn, props.boxes, props.mask, gt_boxes, gt_labels, gt_valid,
-            self.num_classes, target_stds=self.rcnn_target_stds, **tc["rcnn"])
+            self.num_classes, target_stds=self.rcnn_target_stds, **rcnn_cfg)
 
         B, S, _ = samples.rois.shape
         flat_rois = samples.rois.reshape(B * S, 5)
         roi_feats = self._roi_extract(feats, flat_rois)
         cls, reg = self.bbox_head_m(roi_feats)
+        if sampler_kind == "ohem":
+            logp = jax.nn.log_softmax(
+                jax.lax.stop_gradient(cls.reshape(B, S, -1)), -1)
+            nll = -jnp.take_along_axis(logp, samples.labels[..., None],
+                                       -1)[..., 0]
+            neg = (samples.labels == self.num_classes) & \
+                (samples.label_weights > 0)
+            neg_loss = jnp.where(neg, nll, -jnp.inf).reshape(-1)
+            n_keep = (neg.sum() + 1) // 2
+            order = jnp.argsort(-neg_loss)
+            rank = jnp.zeros_like(order).at[order].set(
+                jnp.arange(order.shape[0]))
+            keep = (rank.reshape(B, S) < n_keep) & neg
+            new_lw = jnp.where(neg & ~keep, 0.0, samples.label_weights)
+            samples = samples._replace(label_weights=new_lw)
         losses_out.update(bbox_head_loss(cls, reg, samples, self.num_classes,
-                                         pisa=self.pisa))
+                                         pisa=self.pisa, reg_loss=reg_loss,
+                                         reg_loss_weight=reg_loss_weight,
+                                         target_stds=self.rcnn_target_stds))
 
         if self.with_mask and gt_masks is not None:
             mask_out = self._mask_train_outputs(

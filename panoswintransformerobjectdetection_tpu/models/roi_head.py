@@ -292,13 +292,19 @@ def sample_rois_for_training(rng, proposals, prop_mask, gt_boxes, gt_labels,
 
 def bbox_head_loss(cls_logits, bbox_pred, samples: RoISamples, num_classes,
                    reg_class_agnostic=False,
-                   pisa=None) -> Dict[str, jnp.ndarray]:
+                   pisa=None, reg_loss="l1", reg_loss_weight=1.0,
+                   target_stds=(0.1, 0.1, 0.2, 0.2)) -> Dict[str, jnp.ndarray]:
     """Softmax CE + L1 on positive rows (`bbox_head.py` loss semantics).
 
     pisa: optional dict (configs/pisa) enabling ISR-P importance
     reweighting of the regression loss and the CARL classification-aware
     term (`pisa_loss.py isr_p / carl_loss`); keys: isr_k, isr_bias,
     carl_k, carl_bias.
+
+    reg_loss: "l1" (default) or a box-IoU loss ("giou" / "iou" /
+    "bounded_iou", the configs/faster_rcnn/*_{giou,iou,bounded_iou}
+    recipes) computed on decoded boxes; `target_stds` decodes both the
+    prediction and the stored target deltas.
     """
     B, S = samples.labels.shape
     cls_logits = cls_logits.reshape(B, S, -1)
@@ -347,9 +353,29 @@ def bbox_head_loss(cls_logits, bbox_pred, samples: RoISamples, num_classes,
             pred, samples.bbox_targets,
             weight=(carl * pos)[..., None], avg_factor=num_sampled) * \
             pisa.get("carl_weight", 1.0)
-    loss_bbox = losses.l1_loss(pred, samples.bbox_targets,
-                               weight=reg_w[..., None],
-                               avg_factor=num_sampled)
+    if reg_loss == "l1":
+        loss_bbox = losses.l1_loss(pred, samples.bbox_targets,
+                                   weight=reg_w[..., None],
+                                   avg_factor=num_sampled)
+    else:
+        from ..core.bbox import delta_decode
+        rois_flat = samples.rois[..., 1:]
+        pred_boxes = delta_decode(rois_flat, pred, stds=target_stds)
+        tgt_boxes = delta_decode(rois_flat, samples.bbox_targets,
+                                 stds=target_stds)
+        if reg_loss == "giou":
+            loss_bbox = losses.giou_loss(pred_boxes, tgt_boxes,
+                                         weight=reg_w, avg_factor=num_sampled)
+        elif reg_loss == "bounded_iou":
+            from .guided_anchor import bounded_iou_loss
+            lb = bounded_iou_loss(
+                pred_boxes[..., 2:] - pred_boxes[..., :2],
+                tgt_boxes[..., 2:] - tgt_boxes[..., :2])
+            loss_bbox = (lb * reg_w).sum() / jnp.maximum(num_sampled, 1.0)
+        else:
+            loss_bbox = losses.iou_loss(pred_boxes, tgt_boxes,
+                                        weight=reg_w, avg_factor=num_sampled)
+        loss_bbox = loss_bbox * reg_loss_weight
     out.update({"loss_cls": loss_cls, "loss_bbox": loss_bbox, "acc": acc})
     return out
 
@@ -358,7 +384,8 @@ def bbox_head_detections(cls_logits, bbox_pred, rois, img_shapes, num_classes,
                          *, score_thr=0.05, iou_threshold=0.5, max_per_img=100,
                          target_means=(0., 0., 0., 0.),
                          target_stds=(0.1, 0.1, 0.2, 0.2),
-                         roi_mask=None, scale_factors=None) -> DetResult:
+                         roi_mask=None, scale_factors=None,
+                         nms_type="nms") -> DetResult:
     """Decode per-class boxes and run multiclass NMS per image
     (`bbox_head.py get_bboxes` + `multiclass_nms`).
 
@@ -380,7 +407,7 @@ def bbox_head_detections(cls_logits, bbox_pred, rois, img_shapes, num_classes,
 
     def single(b, s, m):
         return multiclass_nms(b, s, score_thr, iou_threshold, max_per_img,
-                              valid=m)
+                              valid=m, nms_type=nms_type)
 
     mask = roi_mask if roi_mask is not None else jnp.ones((B, P), bool)
     return jax.vmap(single)(boxes, scores, mask)

@@ -149,12 +149,15 @@ class DetResult(NamedTuple):
 def multiclass_nms(multi_boxes: jnp.ndarray, multi_scores: jnp.ndarray,
                    score_thr: float, iou_threshold: float,
                    max_per_img: int, pre_nms: int = 2000,
-                   valid: jnp.ndarray = None) -> DetResult:
+                   valid: jnp.ndarray = None,
+                   nms_type: str = "nms") -> DetResult:
     """Class-wise NMS over decoded boxes (`bbox_nms.py:7 multiclass_nms`).
 
     multi_boxes: (N, 4) or (N, C*4); multi_scores: (N, C+1) with background
     last (dropped).  Candidates below `score_thr` are masked; the top
     `pre_nms` candidates across all classes enter batched NMS.
+    nms_type "soft_nms" routes through score-decay Soft-NMS
+    (configs/faster_rcnn/faster_rcnn_r50_fpn_soft_nms_1x_coco.py).
     """
     N, Cp1 = multi_scores.shape
     C = Cp1 - 1
@@ -178,8 +181,16 @@ def multiclass_nms(multi_boxes: jnp.ndarray, multi_scores: jnp.ndarray,
     top_labels = flat_labels[top_idx]
     top_valid = top_scores > NEG_INF / 2
 
-    r = batched_nms(top_boxes, top_scores, top_labels, iou_threshold,
-                    max_per_img, top_valid)
+    if nms_type == "soft_nms":
+        # class-offset trick keeps classes independent under soft decay
+        max_coord = jnp.max(jnp.where(top_valid[:, None], top_boxes, 0.0)) + 1.0
+        shifted = top_boxes + top_labels.astype(top_boxes.dtype)[:, None] * max_coord
+        r = soft_nms(shifted, top_scores, iou_threshold, max_per_img,
+                     valid=top_valid)
+        r = NMSResult(top_boxes[r.idx], r.scores, r.idx, r.mask)
+    else:
+        r = batched_nms(top_boxes, top_scores, top_labels, iou_threshold,
+                        max_per_img, top_valid)
     labels = top_labels[r.idx]
     return DetResult(r.boxes, jnp.where(r.mask, r.scores, NEG_INF),
                      jnp.where(r.mask, labels, -1), r.mask)
