@@ -1,0 +1,4 @@
+# ..._dcn_1x_coco (reference configs/fcos/).
+_base_ = ["fcos_center-normbbox-centeronreg-giou_r50_caffe_fpn_gn-head_1x_coco.py"]
+model = dict(backbone=dict(dcn=dict(type="DCNv2"),
+                           stage_with_dcn=(False, True, True, True)))

@@ -1,0 +1,4 @@
+# fovea_align_r101_fpn_gn-head_4x4_2x_coco (reference configs/foveabox/):
+# deformable FeatureAlign on the cls tower.
+_base_ = ["fovea_r101_fpn_4x4_2x_coco.py"]
+model = dict(with_deform=True)

@@ -1,0 +1,4 @@
+# gfl_r101_fpn_dconv_c3-c5_mstrain_2x_coco (reference configs/gfl/).
+_base_ = ["gfl_r101_fpn_mstrain_2x_coco.py"]
+model = dict(backbone=dict(dcn=dict(type="DCNv2"),
+                           stage_with_dcn=(False, True, True, True)))

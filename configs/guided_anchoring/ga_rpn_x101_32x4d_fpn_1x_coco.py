@@ -1,0 +1,4 @@
+# ga_rpn_x101_32x4d_fpn_1x_coco (reference configs/guided_anchoring/).
+_base_ = ["ga_rpn_r50_fpn_1x_coco.py"]
+model = dict(backbone=dict(type="ResNeXt", depth=101, groups=32,
+                           base_width=4))

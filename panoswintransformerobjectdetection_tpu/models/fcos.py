@@ -28,6 +28,14 @@ class FCOSHead(nn.Module):
     num_classes: int = 80
     feat_channels: int = 256
     stacked_convs: int = 4
+    # centerness branch on the reg tower (True, the centeronreg variant)
+    # or the cls tower (False, the stock mmdet default) — both appear in
+    # configs/fcos
+    centerness_on_reg: bool = True
+    # norm_on_bbox (configs/fcos *normbbox*): relu-parameterized distances
+    # scaled by the level stride instead of exp
+    norm_on_bbox: bool = False
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     dtype: Any = None
 
     @nn.compact
@@ -56,9 +64,13 @@ class FCOSHead(nn.Module):
             for conv, gn in reg_convs:
                 r = nn.relu(gn(conv(r)))
             cls_scores.append(cls_out(c).astype(jnp.float32))
-            bbox_preds.append(
-                (jnp.exp(reg_out(r).astype(jnp.float32) * scales[li])))
-            centernesses.append(ctr_out(r).astype(jnp.float32))
+            raw = reg_out(r).astype(jnp.float32) * scales[li]
+            if self.norm_on_bbox:
+                bbox_preds.append(nn.relu(raw) * float(self.strides[li]))
+            else:
+                bbox_preds.append(jnp.exp(raw))
+            centernesses.append(ctr_out(
+                r if self.centerness_on_reg else c).astype(jnp.float32))
         return tuple(cls_scores), tuple(bbox_preds), tuple(centernesses)
 
 
@@ -69,8 +81,13 @@ def _level_points(h, w, stride):
     return np.stack([xx, yy], -1).reshape(-1, 2).astype(np.float32)
 
 
-def fcos_targets(points, ranges, gts, glabels, gvalid, num_classes):
+def fcos_targets(points, ranges, gts, glabels, gvalid, num_classes,
+                 strides=None, center_sample_radius=0.0):
     """points: (N, 2); ranges: (N, 2); gts: (G, 4).  One image.
+
+    strides + center_sample_radius > 0 enable center sampling
+    (`fcos_head.py` center_sampling): positives restricted to the
+    radius*stride box around each gt center, clamped inside the gt.
 
     Returns labels (N,), ltrb (N, 4), centerness (N,)."""
     x, y = points[:, 0][:, None], points[:, 1][:, None]
@@ -80,6 +97,15 @@ def fcos_targets(points, ranges, gts, glabels, gvalid, num_classes):
     b = gts[:, 3][None, :] - y
     ltrb = jnp.stack([l, t, r, b], -1)                 # (N, G, 4)
     inside = ltrb.min(-1) > 0
+    if strides is not None and center_sample_radius > 0:
+        cx = (gts[:, 0] + gts[:, 2])[None, :] / 2
+        cy = (gts[:, 1] + gts[:, 3])[None, :] / 2
+        rad = center_sample_radius * strides[:, None]
+        x1 = jnp.maximum(cx - rad, gts[:, 0][None, :])
+        x2 = jnp.minimum(cx + rad, gts[:, 2][None, :])
+        y1 = jnp.maximum(cy - rad, gts[:, 1][None, :])
+        y2 = jnp.minimum(cy + rad, gts[:, 3][None, :])
+        inside = inside & (x > x1) & (x < x2) & (y > y1) & (y < y2)
     maxd = ltrb.max(-1)
     in_range = (maxd >= ranges[:, 0:1]) & (maxd <= ranges[:, 1:2])
     areas = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1])
@@ -104,6 +130,12 @@ class FCOS(nn.Module):
     num_classes: int = 80
     neck: Optional[Any] = None
     strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    # configs/fcos variants
+    center_sampling: bool = False
+    center_sample_radius: float = 1.5
+    norm_on_bbox: bool = False
+    centerness_on_reg: bool = True
+    use_giou: bool = False
     compute_dtype: Any = None
 
     def setup(self):
@@ -119,6 +151,9 @@ class FCOS(nn.Module):
             neck_cfg.setdefault("dtype", self.compute_dtype)
         self.neck_m = build(NECKS, neck_cfg)
         self.head_m = FCOSHead(num_classes=self.num_classes,
+                               centerness_on_reg=self.centerness_on_reg,
+                               norm_on_bbox=self.norm_on_bbox,
+                               strides=self.strides,
                                dtype=self.compute_dtype)
 
     def __call__(self, images, train: bool = False):
@@ -144,9 +179,15 @@ class FCOS(nn.Module):
         reg = jnp.concatenate([r.reshape(B, -1, 4) for r in bbox_preds], 1)
         ctr = jnp.concatenate([c.reshape(B, -1) for c in centernesses], 1)
 
+        pt_strides = jnp.asarray(np.concatenate(
+            [np.full(c.shape[1] * c.shape[2], float(s), np.float32)
+             for c, s in zip(cls_scores, self.strides)]))
+        radius = self.center_sample_radius if self.center_sampling else 0.0
         labels, ltrb, ctr_t, pos = jax.vmap(
             lambda g, l, v: fcos_targets(points, ranges, g, l, v,
-                                         self.num_classes))(
+                                         self.num_classes,
+                                         strides=pt_strides,
+                                         center_sample_radius=radius))(
             gt_boxes, gt_labels, gt_valid)
         ltrb = jax.lax.stop_gradient(ltrb)
         ctr_t = jax.lax.stop_gradient(ctr_t)
@@ -162,8 +203,9 @@ class FCOS(nn.Module):
         tgt_boxes = jnp.stack([px - ltrb[..., 0], py - ltrb[..., 1],
                                px + ltrb[..., 2], py + ltrb[..., 3]], -1)
         w = pos.astype(jnp.float32) * ctr_t
-        loss_bbox = losses.iou_loss(pred_boxes, tgt_boxes, weight=w,
-                                    avg_factor=jnp.maximum(w.sum(), 1e-6))
+        box_loss = losses.giou_loss if self.use_giou else losses.iou_loss
+        loss_bbox = box_loss(pred_boxes, tgt_boxes, weight=w,
+                             avg_factor=jnp.maximum(w.sum(), 1e-6))
         loss_ctr = losses.binary_cross_entropy(
             ctr, ctr_t, weight=pos.astype(jnp.float32), avg_factor=num_pos)
         return {"loss_cls": loss_cls, "loss_bbox": loss_bbox,

@@ -46,6 +46,17 @@ def moment_points2bbox(pts: jnp.ndarray, moment_transfer: jnp.ndarray,
     return jnp.concatenate([xm - hw, ym - hh, xm + hw, ym + hh], -1)
 
 
+def minmax_points2bbox(pts: jnp.ndarray, partial: bool = False) -> jnp.ndarray:
+    """transform_method='minmax' / 'partial_minmax'
+    (`reppoints_head.py points2bbox`): box = extremes of the point set
+    (first 4 points only for partial).  Also serves the grid-point bbox
+    variants (configs/reppoints/bbox_r50_grid_*)."""
+    if partial:
+        pts = pts[..., :4, :]
+    y, x = pts[..., 0], pts[..., 1]
+    return jnp.stack([x.min(-1), y.min(-1), x.max(-1), y.max(-1)], -1)
+
+
 def _dcn_base() -> np.ndarray:
     """Regular 3x3 tap grid as (dy, dx) pairs, matching deform_conv2d's tap
     order."""
@@ -123,6 +134,9 @@ class RepPointsDetector(nn.Module):
     neck: Optional[Any] = None
     point_strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     point_base_scale: int = 4
+    # 'moment' | 'minmax' | 'partial_minmax' (`points2bbox` transform;
+    # minmax also serves the grid-point bbox_r50_grid_* configs)
+    transform_method: str = "moment"
     compute_dtype: Any = None
 
     def setup(self):
@@ -155,8 +169,13 @@ class RepPointsDetector(nn.Module):
                             -1).reshape(-1, 2)                     # (HW, 2) xy
             pi_pts = pi.reshape(B, H * W, NUM_POINTS, 2) * s
             pr_pts = pr.reshape(B, H * W, NUM_POINTS, 2) * s
-            bi = moment_points2bbox(pi_pts, self.moment_transfer)
-            br = moment_points2bbox(pr_pts, self.moment_transfer)
+            if self.transform_method == "moment":
+                bi = moment_points2bbox(pi_pts, self.moment_transfer)
+                br = moment_points2bbox(pr_pts, self.moment_transfer)
+            else:
+                partial = self.transform_method == "partial_minmax"
+                bi = minmax_points2bbox(pi_pts, partial)
+                br = minmax_points2bbox(pr_pts, partial)
             off = jnp.stack([ctr[:, 0], ctr[:, 1], ctr[:, 0], ctr[:, 1]], -1)
             initb.append(bi + off[None])
             refineb.append(br + off[None])

@@ -84,3 +84,53 @@ class TestFCOS:
         g = jax.grad(loss_fn)(variables["params"])
         assert all(np.isfinite(np.asarray(l)).all()
                    for l in jax.tree_util.tree_leaves(g))
+
+
+class TestFCOSVariants:
+    """configs/fcos knobs: center sampling, norm_on_bbox, GIoU,
+    centerness-on-cls-tower."""
+
+    def test_center_sampling_restricts_positives(self):
+        # points far from the gt center but inside the box become negative
+        points = jnp.array([[16.0, 16.0], [60.0, 60.0]])
+        ranges = jnp.array([[-1.0, 1e8], [-1.0, 1e8]])
+        gts = jnp.array([[0.0, 0.0, 64.0, 64.0]])  # center (32, 32)
+        strides = jnp.array([8.0, 8.0])
+        _, _, _, pos = fcos_targets(points, ranges, gts, jnp.array([1]),
+                                    jnp.array([True]), 3, strides=strides,
+                                    center_sample_radius=1.5)
+        # radius box is 32 +- 12: (16,16) outside, (60,60) outside too
+        assert not bool(pos[0]) and not bool(pos[1])
+        _, _, _, pos2 = fcos_targets(
+            jnp.array([[30.0, 30.0]]), ranges[:1], gts, jnp.array([1]),
+            jnp.array([True]), 3, strides=strides[:1],
+            center_sample_radius=1.5)
+        assert bool(pos2[0])
+
+    def test_variant_detector_trains(self, rng):
+        det = build(DETECTORS, {
+            "type": "FCOS",
+            "backbone": {"type": "ResNet", "depth": 18,
+                         "out_indices": (1, 2, 3)},
+            "neck": {"type": "FPN", "in_channels": (128, 256, 512),
+                     "out_channels": 32, "num_outs": 5,
+                     "add_extra_convs": True,
+                     "relu_before_extra_convs": True},
+            "num_classes": 3,
+            "center_sampling": True, "norm_on_bbox": True,
+            "centerness_on_reg": True, "use_giou": True,
+        })
+        imgs = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+        v = det.init(jax.random.PRNGKey(0), imgs)
+        out, _ = det.apply(v, imgs, jnp.full((1, 2), 64.0),
+                           jnp.asarray([[[20, 20, 44, 44.]]]),
+                           jnp.zeros((1, 1), jnp.int32),
+                           jnp.ones((1, 1), bool),
+                           method=det.forward_train,
+                           mutable=["batch_stats"])
+        for k in ("loss_cls", "loss_bbox", "loss_centerness"):
+            assert np.isfinite(float(out[k])), (k, out[k])
+        res = det.apply(v, imgs, jnp.full((1, 2), 64.0),
+                        jnp.ones((1, 4), jnp.float32),
+                        method=det.simple_test)
+        assert res.boxes.shape[0] == 1

@@ -56,3 +56,36 @@ def test_reppoints_train_and_test(rng):
     res = det.apply(variables, imgs, shapes, jnp.ones((B, 4), jnp.float32),
                     method=det.simple_test)
     assert res.boxes.shape == (B, 100, 4)
+
+
+def test_minmax_points2bbox():
+    from panoswintransformerobjectdetection_tpu.models.reppoints import (
+        minmax_points2bbox)
+    pts = jnp.asarray(np.array(
+        [[[1.0, 2.0], [3.0, -1.0], [-2.0, 5.0], [0.0, 0.0],
+          [9.0, 9.0], [0, 0], [0, 0], [0, 0], [0, 0]]], np.float32))
+    # pts are (y, x): full minmax covers all 9 points
+    full = np.asarray(minmax_points2bbox(pts))
+    np.testing.assert_allclose(full[0], [-1, -2, 9, 9])
+    partial = np.asarray(minmax_points2bbox(pts, partial=True))
+    np.testing.assert_allclose(partial[0], [-1, -2, 5, 3])
+
+
+def test_reppoints_minmax_detector_trains(rng):
+    det = build(DETECTORS, {
+        "type": "RepPointsDetector",
+        "backbone": {"type": "ResNet", "depth": 18, "out_indices": (1, 2, 3)},
+        "neck": {"type": "FPN", "in_channels": (128, 256, 512),
+                 "out_channels": 32, "num_outs": 5, "add_extra_convs": True},
+        "num_classes": 3,
+        "transform_method": "minmax",
+    })
+    B = 1
+    imgs = jnp.asarray(rng.random((B, 64, 64, 3)).astype(np.float32))
+    variables = det.init(jax.random.PRNGKey(0), imgs)
+    out, _ = det.apply(variables, imgs, jnp.full((B, 2), 64.0),
+                       jnp.asarray([[[4, 4, 44, 44.]]]),
+                       jnp.zeros((B, 1), jnp.int32), jnp.ones((B, 1), bool),
+                       method=det.forward_train, mutable=["batch_stats"])
+    for k in ("loss_cls", "loss_pts_init", "loss_pts_refine"):
+        assert np.isfinite(float(out[k])), k
