@@ -1,0 +1,3 @@
+# sabl_faster_rcnn_r101_fpn_1x_coco (reference configs/sabl/).
+_base_ = ["sabl_faster_rcnn_r50_fpn_1x_coco.py"]
+model = dict(backbone=dict(depth=101))

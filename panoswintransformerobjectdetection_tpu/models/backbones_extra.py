@@ -42,6 +42,7 @@ class RegBlock(nn.Module):
     stride: int = 1
     groups: int = 16
     downsample: bool = False
+    use_dcn: bool = False    # regnet mdconv_c3-c5 configs
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -49,10 +50,17 @@ class RegBlock(nn.Module):
         # group width must divide stage width; presets guarantee it
         y = nn.Conv(self.width, (1, 1), use_bias=False, name="conv1")(x)
         y = nn.relu(_bn("bn1", train)(y))
-        y = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, feature_group_count=self.width // self.groups
-                    if self.width % self.groups == 0 else 1,
+        if self.use_dcn:
+            from ..ops.deform_conv import DCN
+            y = DCN(self.width, kernel_size=3, stride=self.stride,
                     use_bias=False, name="conv2")(y)
+        else:
+            y = nn.Conv(self.width, (3, 3),
+                        strides=(self.stride, self.stride),
+                        padding=1,
+                        feature_group_count=self.width // self.groups
+                        if self.width % self.groups == 0 else 1,
+                        use_bias=False, name="conv2")(y)
         y = nn.relu(_bn("bn2", train)(y))
         y = nn.Conv(self.width, (1, 1), use_bias=False, name="conv3")(y)
         y = _bn("bn3", train)(y)
@@ -69,6 +77,9 @@ class RegNet(nn.Module):
     arch: str = "regnetx_3.2gf"
     out_indices: Sequence[int] = (0, 1, 2, 3)
     norm_eval: bool = True
+    # mask_rcnn_regnetx-3.2GF_fpn_mdconv_c3-c5_1x_coco
+    dcn: Optional[dict] = None
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -82,6 +93,8 @@ class RegNet(nn.Module):
             for j in range(d):
                 x = RegBlock(width=w, stride=2 if j == 0 else 1,
                              groups=cfg["groups"], downsample=j == 0,
+                             use_dcn=bool(self.dcn)
+                             and self.stage_with_dcn[i],
                              name=f"layer{i + 1}_{j}")(x, train=bn_train)
             if i in self.out_indices:
                 outs.append(x)
@@ -95,6 +108,7 @@ class Res2Block(nn.Module):
     base_width: int = 26
     downsample: bool = False
     expansion: int = 4
+    use_dcn: bool = False    # vfnet_r2_101_fpn_mdconv_c3-c5: DCN 3x3 scales
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -115,8 +129,13 @@ class Res2Block(nn.Module):
                 continue
             inp = splits[i] if (prev is None or self.stride != 1) \
                 else splits[i] + prev
-            o = nn.Conv(sw, (3, 3), strides=(self.stride, self.stride),
-                        padding=1, use_bias=False, name=f"conv2_{i}")(inp)
+            if self.use_dcn:
+                from ..ops.deform_conv import DCN
+                o = DCN(sw, kernel_size=3, stride=self.stride,
+                        use_bias=False, name=f"conv2_{i}")(inp)
+            else:
+                o = nn.Conv(sw, (3, 3), strides=(self.stride, self.stride),
+                            padding=1, use_bias=False, name=f"conv2_{i}")(inp)
             o = nn.relu(_bn(f"bn2_{i}", train)(o))
             outs.append(o)
             prev = o
@@ -139,6 +158,10 @@ class Res2Net(nn.Module):
     base_width: int = 26
     out_indices: Sequence[int] = (0, 1, 2, 3)
     norm_eval: bool = True
+    # vfnet_r2_101_fpn_mdconv_c3-c5: dcn=dict(type='DCNv2'),
+    # stage_with_dcn=(False, True, True, True)
+    dcn: Optional[dict] = None
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -157,6 +180,8 @@ class Res2Net(nn.Module):
                 x = Res2Block(planes=planes, stride=2 if (j == 0 and i > 0) else 1,
                               scales=self.scales, base_width=self.base_width,
                               downsample=j == 0,
+                              use_dcn=bool(self.dcn)
+                              and self.stage_with_dcn[i],
                               name=f"layer{i + 1}_{j}")(x, train=bn_train)
             if i in self.out_indices:
                 outs.append(x)

@@ -35,14 +35,28 @@ class CascadeRCNN(TwoStageDetector):
 
     def setup(self):
         super().setup()
-        self.cascade_heads = [
-            Shared2FCBBoxHead(num_classes=self.num_classes,
-                              reg_class_agnostic=True,
-                              return_feat=self.cascade_return_feat,
-                              dtype=self.compute_dtype,
-                              name=f"cascade_head_{t}")
-            for t in range(self.num_stages)
-        ]
+        if self.bbox_head:
+            # per-stage head from config (e.g. Shared4Conv1FCBBoxHead for
+            # the swin giou_4conv1f recipes)
+            from .registry import HEADS, build as _build
+            heads = []
+            for t in range(self.num_stages):
+                hc = dict(self.bbox_head)
+                hc.setdefault("num_classes", self.num_classes)
+                hc.setdefault("reg_class_agnostic", True)
+                hc.setdefault("dtype", self.compute_dtype)
+                hc["name"] = f"cascade_head_{t}"
+                heads.append(_build(HEADS, hc))
+            self.cascade_heads = heads
+        else:
+            self.cascade_heads = [
+                Shared2FCBBoxHead(num_classes=self.num_classes,
+                                  reg_class_agnostic=True,
+                                  return_feat=self.cascade_return_feat,
+                                  dtype=self.compute_dtype,
+                                  name=f"cascade_head_{t}")
+                for t in range(self.num_stages)
+            ]
 
     def __call__(self, images, train: bool = False):
         out = super().__call__(images, train=train)
@@ -78,6 +92,8 @@ class CascadeRCNN(TwoStageDetector):
         boxes, mask = props.boxes, props.mask
         B = boxes.shape[0]
         rcnn_cfg = dict(tc["rcnn"])
+        reg_loss = rcnn_cfg.pop("reg_loss", "l1")
+        reg_loss_weight = rcnn_cfg.pop("reg_loss_weight", 1.0)
         for t in range(self.num_stages):
             rcnn_cfg.update(pos_iou_thr=STAGE_IOUS[t], neg_iou_thr=STAGE_IOUS[t],
                             min_pos_iou=STAGE_IOUS[t])
@@ -89,7 +105,10 @@ class CascadeRCNN(TwoStageDetector):
                                       strides=self.featmap_strides)
             cls, reg = self.cascade_heads[t](rf)[:2]
             stage = bbox_head_loss(cls, reg, samples, self.num_classes,
-                                   reg_class_agnostic=True)
+                                   reg_class_agnostic=True,
+                                   reg_loss=reg_loss,
+                                   reg_loss_weight=reg_loss_weight,
+                                   target_stds=STAGE_STDS[t])
             for k, v in stage.items():
                 losses_out[f"s{t}.{k}"] = v * (STAGE_WEIGHTS[t] if "loss" in k else 1.0)
 

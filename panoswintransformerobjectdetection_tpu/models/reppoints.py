@@ -57,6 +57,26 @@ def minmax_points2bbox(pts: jnp.ndarray, partial: bool = False) -> jnp.ndarray:
     return jnp.stack([x.min(-1), y.min(-1), x.max(-1), y.max(-1)], -1)
 
 
+def gen_grid_from_reg(reg: jnp.ndarray, prev_boxes: jnp.ndarray):
+    """`reppoints_head.py gen_grid_from_reg` (use_grid_points=True): reg
+    (..., 4) = (dx, dy, log dw, log dh) relative to prev_boxes (..., 4)
+    xyxy; returns a regular 3x3 point grid (..., 18) as (dy, dx) pairs on
+    the regressed box, plus the box itself."""
+    bxy = (prev_boxes[..., :2] + prev_boxes[..., 2:]) / 2.0
+    bwh = jnp.maximum(prev_boxes[..., 2:] - prev_boxes[..., :2], 1e-6)
+    wh = bwh * jnp.exp(reg[..., 2:])
+    topleft = bxy + bwh * reg[..., :2] - 0.5 * wh
+    frac = jnp.linspace(0.0, 1.0, 3)
+    # row-major 3x3 grid matching _dcn_base tap order: (dy, dx) per tap
+    gy = topleft[..., 1:2] + wh[..., 1:2] * frac          # (..., 3)
+    gx = topleft[..., 0:1] + wh[..., 0:1] * frac
+    yy = jnp.repeat(gy, 3, axis=-1)                       # y0 y0 y0 y1 ...
+    xx = jnp.tile(gx, (1,) * (gx.ndim - 1) + (3,))        # x0 x1 x2 x0 ...
+    pts = jnp.stack([yy, xx], -1).reshape(reg.shape[:-1] + (2 * NUM_POINTS,))
+    box = jnp.concatenate([topleft, topleft + wh], -1)
+    return pts, box
+
+
 def _dcn_base() -> np.ndarray:
     """Regular 3x3 tap grid as (dy, dx) pairs, matching deform_conv2d's tap
     order."""
@@ -73,11 +93,16 @@ class RepPointsHead(nn.Module):
     point_feat_channels: int = 256
     stacked_convs: int = 3
     gradient_mul: float = 0.1
+    # bbox_r50_grid_* configs: predict a box per stage and place a regular
+    # 3x3 grid on it instead of free-form point offsets
+    use_grid_points: bool = False
+    point_base_scale: int = 4
     dtype: Any = None
 
     @nn.compact
     def __call__(self, feats):
         dt = resolve_dtype(self.dtype)
+        out_dim = 4 if self.use_grid_points else 2 * NUM_POINTS
         cls_convs = [(nn.Conv(self.feat_channels, (3, 3), padding=1, dtype=dt,
                               name=f"cls_conv{i}"),
                       nn.GroupNorm(num_groups=32, name=f"cls_gn{i}"))
@@ -88,7 +113,7 @@ class RepPointsHead(nn.Module):
                      for i in range(self.stacked_convs)]
         init_conv = nn.Conv(self.point_feat_channels, (3, 3), padding=1,
                             dtype=dt, name="pts_init_conv")
-        init_out = nn.Conv(2 * NUM_POINTS, (1, 1), dtype=dt,
+        init_out = nn.Conv(out_dim, (1, 1), dtype=dt,
                            name="pts_init_out")
         cls_dcn_w = self.param("cls_dcn_kernel", nn.initializers.he_normal(),
                                (NUM_POINTS, self.feat_channels,
@@ -100,9 +125,11 @@ class RepPointsHead(nn.Module):
                                   nn.initializers.he_normal(),
                                   (NUM_POINTS, self.feat_channels,
                                    self.point_feat_channels))
-        refine_out = nn.Conv(2 * NUM_POINTS, (1, 1), dtype=dt,
+        refine_out = nn.Conv(out_dim, (1, 1), dtype=dt,
                              name="pts_refine_out")
         base = jnp.asarray(_dcn_base())
+        scale = self.point_base_scale / 2.0
+        bbox_init = jnp.asarray([-scale, -scale, scale, scale], jnp.float32)
         cls_l, init_l, refine_l = [], [], []
         for f in feats:
             c = r = f if dt is None else f.astype(dt)
@@ -111,6 +138,10 @@ class RepPointsHead(nn.Module):
             for conv, gn in reg_convs:
                 r = nn.relu(gn(conv(r)))
             pts_init = init_out(nn.relu(init_conv(r))).astype(jnp.float32)
+            if self.use_grid_points:
+                pts_init, bbox_out = gen_grid_from_reg(
+                    pts_init, jnp.broadcast_to(bbox_init,
+                                               pts_init.shape[:-1] + (4,)))
             pts_gm = (self.gradient_mul * pts_init
                       + (1 - self.gradient_mul)
                       * jax.lax.stop_gradient(pts_init))
@@ -120,7 +151,11 @@ class RepPointsHead(nn.Module):
             refine = refine_out(nn.relu(deform_conv2d(
                 r.astype(jnp.float32), dcn_off,
                 refine_dcn_w.astype(jnp.float32)))).astype(jnp.float32)
-            refine = refine + jax.lax.stop_gradient(pts_init)
+            if self.use_grid_points:
+                refine, _ = gen_grid_from_reg(
+                    refine, jax.lax.stop_gradient(bbox_out))
+            else:
+                refine = refine + jax.lax.stop_gradient(pts_init)
             cls_l.append(cls.astype(jnp.float32))
             init_l.append(pts_init)
             refine_l.append(refine)
@@ -137,6 +172,10 @@ class RepPointsDetector(nn.Module):
     # 'moment' | 'minmax' | 'partial_minmax' (`points2bbox` transform;
     # minmax also serves the grid-point bbox_r50_grid_* configs)
     transform_method: str = "moment"
+    use_grid_points: bool = False
+    # bbox_r50_grid_* swap the init-stage point assigner for MaxIoU over
+    # the base boxes (point_base_scale * stride squares at each center)
+    init_assigner: str = "point"
     compute_dtype: Any = None
 
     def setup(self):
@@ -147,6 +186,8 @@ class RepPointsDetector(nn.Module):
             "add_extra_convs": True})
         self.neck_m = build(NECKS, neck_cfg)
         self.head_m = RepPointsHead(num_classes=self.num_classes,
+                                    use_grid_points=self.use_grid_points,
+                                    point_base_scale=self.point_base_scale,
                                     dtype=self.compute_dtype)
         self.moment_transfer = self.param(
             "moment_transfer", nn.initializers.zeros, (2,))
@@ -194,8 +235,17 @@ class RepPointsDetector(nn.Module):
         norm = (strides * self.point_base_scale)[None, :, None]
 
         def single(init_boxes, gts, glabels, gvalid):
-            a_init = point_assign(centers, strides, gts, gvalid,
-                                  scale=self.point_base_scale, pos_num=1)
+            if self.init_assigner == "max_iou":
+                half = strides * self.point_base_scale / 2.0
+                base_boxes = jnp.stack(
+                    [centers[:, 0] - half, centers[:, 1] - half,
+                     centers[:, 0] + half, centers[:, 1] + half], -1)
+                a_init, _ = max_iou_assign(
+                    bbox_overlaps(gts, base_boxes), gvalid,
+                    pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0)
+            else:
+                a_init = point_assign(centers, strides, gts, gvalid,
+                                      scale=self.point_base_scale, pos_num=1)
             pos_i = a_init > 0
             tgt_i = gts[jnp.clip(a_init - 1, 0)]
             ious = bbox_overlaps(gts, jax.lax.stop_gradient(init_boxes))

@@ -404,3 +404,153 @@ class SABLFasterRCNN(nn.Module):
             cls.reshape(B, P, -1), reg.reshape(B, P, 4), rois, img_shapes,
             self.num_classes, target_stds=inner.rcnn_target_stds,
             roi_mask=props.mask, scale_factors=scale_factors, **cfg["rcnn"])
+
+
+@DETECTORS.register
+class SABLCascadeRCNN(nn.Module):
+    """Cascade R-CNN with SABL bbox heads per stage
+    (configs/sabl/sabl_cascade_rcnn_r50_fpn_1x_coco.py): three bucketing
+    heads with rising IoU thresholds (0.5/0.6/0.7) and shrinking candidate
+    regions (scale_factor 1.7/1.5/1.3); boxes refine stage-to-stage via
+    bucket decode, class scores average across stages at test time."""
+    backbone: Any
+    num_classes: int = 80
+    neck: Optional[Any] = None
+    num_buckets: int = 14
+    num_stages: int = 3
+    stage_ious: Tuple[float, ...] = (0.5, 0.6, 0.7)
+    stage_scale_factors: Tuple[float, ...] = (1.7, 1.5, 1.3)
+    stage_weights: Tuple[float, ...] = (1.0, 0.5, 0.25)
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    compute_dtype: Any = None
+
+    def setup(self):
+        from .detectors import TwoStageDetector
+        self.inner = TwoStageDetector(
+            backbone=self.backbone, num_classes=self.num_classes,
+            neck=self.neck, train_cfg=self.train_cfg,
+            test_cfg=self.test_cfg, compute_dtype=self.compute_dtype,
+            name="two_stage")
+        self.sabl_heads = [
+            SABLHead(num_classes=self.num_classes,
+                     num_buckets=self.num_buckets,
+                     dtype=self.compute_dtype, name=f"sabl_head_{t}")
+            for t in range(self.num_stages)
+        ]
+
+    def __call__(self, images, train: bool = False):
+        feats = self.inner.extract_feat(images, train=train)
+        self.inner.rpn_m(feats)
+        B = images.shape[0]
+        dummy = jnp.zeros((B * 8, 5), jnp.float32)
+        rf = self.inner._roi_extract(feats, dummy)
+        return tuple(h(rf) for h in self.sabl_heads)
+
+    def _stage_loss(self, head, scale_factor, feats, samples):
+        """SABL losses for one cascade stage + bucket-decoded boxes."""
+        from ..core.bbox import delta_decode
+        inner = self.inner
+        B, S, _ = samples.rois.shape
+        flat_rois = samples.rois.reshape(B * S, 5)
+        cls, slog, soff = head(inner._roi_extract(feats, flat_rois))
+        labels = samples.labels.reshape(-1)
+        lw = samples.label_weights.reshape(-1)
+        out = {"loss_cls": losses.cross_entropy(
+            cls, labels, weight=lw, avg_factor=jnp.maximum(lw.sum(), 1.0))}
+        gt_match = delta_decode(flat_rois[:, 1:5],
+                                samples.bbox_targets.reshape(-1, 4),
+                                stds=inner.rcnn_target_stds)
+        blab, boff = bucket_encode(flat_rois[:, 1:5], gt_match,
+                                   self.num_buckets, scale_factor)
+        bw = samples.bbox_weights.reshape(-1)
+        K = self.num_buckets
+        navg = jnp.maximum(bw.sum(), 1.0)
+        out["loss_bbox_cls"] = losses.binary_cross_entropy(
+            slog, jax.nn.one_hot(blab, K), weight=bw[:, None, None],
+            avg_factor=navg * 4 * K)
+        off_pred = jnp.take_along_axis(soff, blab[..., None], -1)[..., 0]
+        out["loss_bbox_reg"] = losses.smooth_l1_loss(
+            off_pred, boff, beta=0.1, weight=bw[:, None], avg_factor=navg * 4)
+        dec = bucket_decode(flat_rois[:, 1:5], slog, soff, self.num_buckets,
+                            scale_factor).reshape(B, S, 4)
+        return out, dec
+
+    def forward_train(self, images, img_shapes, gt_boxes, gt_labels,
+                      gt_valid, gt_masks=None, pano_ratio_v=None):
+        from .detectors import default_train_cfg
+        from .roi_head import sample_rois_for_training
+        from .rpn_head import rpn_loss, rpn_proposals
+        tc = self.train_cfg or default_train_cfg()
+        inner = self.inner
+        feats = inner.extract_feat(images, train=True)
+        cls_scores, bbox_preds = inner.rpn_m(feats)
+        level_anchors, anchors = inner._anchors(cls_scores)
+        rng = self.make_rng("sampler")
+        rngs = jax.random.split(rng, self.num_stages + 1)
+        losses_out = rpn_loss(cls_scores, bbox_preds, anchors, gt_boxes,
+                              gt_valid, rngs[0],
+                              target_stds=inner.rpn_target_stds, **tc["rpn"])
+        props = jax.tree_util.tree_map(
+            jax.lax.stop_gradient,
+            rpn_proposals(cls_scores, bbox_preds, level_anchors, img_shapes,
+                          target_stds=inner.rpn_target_stds,
+                          **tc["rpn_proposal"]))
+        boxes, mask = props.boxes, props.mask
+        rcnn_cfg = dict(tc["rcnn"])
+        for t in range(self.num_stages):
+            iou = self.stage_ious[t]
+            rcnn_cfg.update(pos_iou_thr=iou, neg_iou_thr=iou, min_pos_iou=iou)
+            samples = sample_rois_for_training(
+                rngs[t + 1], boxes, mask, gt_boxes, gt_labels, gt_valid,
+                self.num_classes, target_stds=inner.rcnn_target_stds,
+                **rcnn_cfg)
+            stage, dec = self._stage_loss(
+                self.sabl_heads[t], self.stage_scale_factors[t], feats,
+                samples)
+            for k, v in stage.items():
+                losses_out[f"s{t}.{k}"] = v * self.stage_weights[t]
+            if t < self.num_stages - 1:
+                boxes = jax.lax.stop_gradient(dec)
+                mask = samples.label_weights > 0
+        return losses_out
+
+    def simple_test(self, images, img_shapes, scale_factors=None,
+                    pano_ratio_v=None):
+        from .detectors import default_test_cfg
+        from .rpn_head import rpn_proposals
+        from .roi_head import bbox_head_detections
+        cfg = self.test_cfg or default_test_cfg()
+        inner = self.inner
+        feats = inner.extract_feat(images, train=False)
+        cls_scores, bbox_preds = inner.rpn_m(feats)
+        level_anchors, _ = inner._anchors(cls_scores)
+        props = rpn_proposals(cls_scores, bbox_preds, level_anchors,
+                              img_shapes, target_stds=inner.rpn_target_stds,
+                              **cfg["rpn"])
+        B, P, _ = props.boxes.shape
+        boxes = props.boxes
+        bidx = jnp.broadcast_to(
+            jnp.arange(B, dtype=images.dtype)[:, None, None], (B, P, 1))
+        stage_scores = []
+        for t in range(self.num_stages):
+            rois = jnp.concatenate([bidx, boxes], axis=-1)
+            flat = rois.reshape(B * P, 5)
+            cls, slog, soff = self.sabl_heads[t](inner._roi_extract(feats,
+                                                                    flat))
+            stage_scores.append(jax.nn.softmax(cls.reshape(B, P, -1), -1))
+            dec = bucket_decode(flat[:, 1:5], slog, soff, self.num_buckets,
+                                self.stage_scale_factors[t])
+            h = jnp.repeat(img_shapes[:, 0], P)
+            w = jnp.repeat(img_shapes[:, 1], P)
+            x = jnp.clip(dec[:, 0::2], 0, w[:, None])
+            y = jnp.clip(dec[:, 1::2], 0, h[:, None])
+            boxes = jnp.stack([x[:, 0], y[:, 0], x[:, 1], y[:, 1]],
+                              -1).reshape(B, P, 4)
+        avg = sum(stage_scores) / self.num_stages
+        rois = jnp.concatenate([bidx, boxes], axis=-1)
+        zero_reg = jnp.zeros((B, P, 4), jnp.float32)
+        return bbox_head_detections(
+            jnp.log(jnp.clip(avg, 1e-9)), zero_reg, rois, img_shapes,
+            self.num_classes, target_stds=(1.0, 1.0, 1.0, 1.0),
+            roi_mask=props.mask, scale_factors=scale_factors, **cfg["rcnn"])

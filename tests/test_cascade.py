@@ -82,3 +82,54 @@ class TestCascade:
             total = sum(float(jnp.abs(l).sum())
                         for l in jax.tree_util.tree_leaves(gt))
             assert np.isfinite(total) and total > 0, f"stage {t}"
+
+    def test_configured_bbox_head_and_giou(self, rng):
+        """Per-stage head from config (`Shared4Conv1FCBBoxHead` as in the
+        swin giou_4conv1f recipes) + giou reg loss train and test."""
+        det = build(DETECTORS, {
+            "type": "CascadeRCNN",
+            "backbone": {"type": "ResNet", "depth": 18},
+            "neck": {"type": "FPN", "in_channels": (64, 128, 256, 512),
+                     "out_channels": 16, "num_outs": 5},
+            "num_classes": 3,
+            "bbox_head": {"type": "Shared4Conv1FCBBoxHead",
+                          "norm_groups": 4, "conv_out_channels": 16},
+            "train_cfg": {
+                "rpn": {"pos_iou_thr": 0.7, "neg_iou_thr": 0.3,
+                        "min_pos_iou": 0.3, "num_samples": 32,
+                        "pos_fraction": 0.5},
+                "rpn_proposal": {"nms_pre": 64, "max_per_img": 16,
+                                 "iou_threshold": 0.7, "min_bbox_size": 0},
+                "rcnn": {"num_samples": 16, "pos_fraction": 0.25,
+                         "reg_loss": "giou", "reg_loss_weight": 10.0},
+            },
+            "test_cfg": {
+                "rpn": {"nms_pre": 32, "max_per_img": 8,
+                        "iou_threshold": 0.7, "min_bbox_size": 0},
+                "rcnn": {"score_thr": 0.05, "iou_threshold": 0.5,
+                         "max_per_img": 4},
+            },
+        })
+        B = 2
+        imgs = jnp.asarray(rng.random((B, 64, 64, 3)).astype(np.float32))
+        variables = det.init(jax.random.PRNGKey(0), imgs)
+        # the configured head type is actually instantiated per stage
+        assert "conv0" in variables["params"]["cascade_head_0"]
+        shapes = jnp.full((B, 2), 64.0)
+        gtb = jnp.asarray(np.tile(np.array(
+            [[[4, 4, 30, 30]]], np.float32), (B, 1, 1)))
+        losses, _ = det.apply(variables, imgs, shapes, gtb,
+                              jnp.zeros((B, 1), jnp.int32),
+                              jnp.ones((B, 1), bool),
+                              method=det.forward_train,
+                              rngs={"sampler": jax.random.PRNGKey(1)},
+                              mutable=["batch_stats"])
+        for t in range(3):
+            for k in ("loss_cls", "loss_bbox"):
+                key = f"s{t}.{k}"
+                assert any(key in x for x in losses), (key, list(losses))
+        assert all(np.isfinite(float(v)) for v in losses.values())
+        res = det.apply(variables, imgs, shapes,
+                        jnp.ones((B, 4), jnp.float32),
+                        method=det.simple_test)
+        assert res.boxes.shape == (B, 4, 4)

@@ -89,3 +89,42 @@ def test_reppoints_minmax_detector_trains(rng):
                        method=det.forward_train, mutable=["batch_stats"])
     for k in ("loss_cls", "loss_pts_init", "loss_pts_refine"):
         assert np.isfinite(float(out[k])), k
+
+
+def test_gen_grid_from_reg_identity():
+    from panoswintransformerobjectdetection_tpu.models.reppoints import (
+        gen_grid_from_reg)
+    prev = jnp.asarray([[-2.0, -2.0, 2.0, 2.0]])
+    pts, box = gen_grid_from_reg(jnp.zeros((1, 4)), prev)
+    np.testing.assert_allclose(np.asarray(box)[0], [-2, -2, 2, 2], atol=1e-6)
+    p = np.asarray(pts).reshape(9, 2)
+    # row-major 3x3 grid of (y, x) over the box
+    np.testing.assert_allclose(p[0], [-2, -2], atol=1e-6)
+    np.testing.assert_allclose(p[2], [-2, 2], atol=1e-6)   # row 0, col 2
+    np.testing.assert_allclose(p[6], [2, -2], atol=1e-6)   # row 2, col 0
+    np.testing.assert_allclose(p[4], [0, 0], atol=1e-6)    # center
+
+
+def test_reppoints_grid_variant_trains(rng):
+    det = build(DETECTORS, {
+        "type": "RepPointsDetector",
+        "backbone": {"type": "ResNet", "depth": 18, "out_indices": (1, 2, 3)},
+        "neck": {"type": "FPN", "in_channels": (128, 256, 512),
+                 "out_channels": 32, "num_outs": 5, "add_extra_convs": True},
+        "num_classes": 3,
+        "transform_method": "minmax",
+        "use_grid_points": True,
+        "init_assigner": "max_iou",
+    })
+    B = 1
+    imgs = jnp.asarray(rng.random((B, 64, 64, 3)).astype(np.float32))
+    variables = det.init(jax.random.PRNGKey(0), imgs)
+    out, _ = det.apply(variables, imgs, jnp.full((B, 2), 64.0),
+                       jnp.asarray([[[4, 4, 44, 44.]]]),
+                       jnp.zeros((B, 1), jnp.int32), jnp.ones((B, 1), bool),
+                       method=det.forward_train, mutable=["batch_stats"])
+    for k in ("loss_cls", "loss_pts_init", "loss_pts_refine"):
+        assert np.isfinite(float(out[k])), k
+    res = det.apply(variables, imgs, jnp.full((B, 2), 64.0),
+                    jnp.ones((B, 4), jnp.float32), method=det.simple_test)
+    assert res.boxes.shape == (B, 100, 4)

@@ -88,3 +88,41 @@ class TestSABLFasterRCNN:
             assert k in out and bool(jnp.isfinite(out[k]))
         res = det.apply(vs, img, shapes, method=det.simple_test)
         assert res.boxes.shape[-1] == 4
+
+
+def test_sabl_cascade_rcnn_train_and_test(rng):
+    det = build(DETECTORS, {
+        "type": "SABLCascadeRCNN",
+        "backbone": {"type": "ResNet", "depth": 18, "out_indices": (0, 1, 2, 3)},
+        "neck": {"type": "FPN", "in_channels": (64, 128, 256, 512),
+                 "out_channels": 32, "num_outs": 5},
+        "num_classes": 3,
+        "train_cfg": {
+            "rpn": {"num_samples": 32, "pos_fraction": 0.5},
+            "rpn_proposal": {"nms_pre": 200, "max_per_img": 64,
+                             "iou_threshold": 0.7},
+            "rcnn": {"num_samples": 32, "pos_fraction": 0.25},
+        },
+        "test_cfg": {
+            "rpn": {"nms_pre": 200, "max_per_img": 64, "iou_threshold": 0.7},
+            "rcnn": {"score_thr": 0.05, "iou_threshold": 0.5,
+                     "max_per_img": 16},
+        },
+    })
+    B = 2
+    imgs = jnp.asarray(rng.random((B, 64, 64, 3)).astype(np.float32))
+    v = det.init({"params": jax.random.PRNGKey(0),
+                  "sampler": jax.random.PRNGKey(1)}, imgs)
+    shapes = jnp.full((B, 2), 64.0)
+    gtb = jnp.asarray(np.tile(np.array([[[4, 4, 44, 44]]], np.float32),
+                              (B, 1, 1)))
+    out, _ = det.apply(v, imgs, shapes, gtb, jnp.zeros((B, 1), jnp.int32),
+                       jnp.ones((B, 1), bool), method=det.forward_train,
+                       rngs={"sampler": jax.random.PRNGKey(2)},
+                       mutable=["batch_stats"])
+    for t in range(3):
+        for k in ("loss_cls", "loss_bbox_cls", "loss_bbox_reg"):
+            assert np.isfinite(float(out[f"s{t}.{k}"])), (t, k)
+    res = det.apply(v, imgs, shapes, jnp.ones((B, 4), jnp.float32),
+                    method=det.simple_test)
+    assert res.boxes.shape == (B, 16, 4)
