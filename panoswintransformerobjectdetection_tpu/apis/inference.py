@@ -52,8 +52,16 @@ def load_weights(det, variables, checkpoint: str, config: Optional[dict] = None)
         return new_vars
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(checkpoint, item=jax.device_get(dict(variables)))
-    return restored
+    # restore the raw tree (a training checkpoint also carries opt_state
+    # and step; a published one is just params/batch_stats) and take the
+    # inference leaves — a structure-matched restore would reject one or
+    # the other.
+    restored = ckptr.restore(checkpoint)
+    new_vars = dict(variables)
+    new_vars["params"] = restored["params"]
+    if restored.get("batch_stats"):
+        new_vars["batch_stats"] = restored["batch_stats"]
+    return new_vars
 
 
 def _default_test_pipeline(img_norm=None):

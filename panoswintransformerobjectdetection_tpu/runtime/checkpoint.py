@@ -429,3 +429,65 @@ def fold_batchnorm(params: Dict[str, Any], batch_stats: Dict[str, Any],
 
     walk(params, batch_stats)
     return params, batch_stats
+
+
+# --------------------------------------------------- CNN backbone converters
+def convert_resnet_backbone(sd: Dict[str, Any], depth: int
+                            ) -> Tuple[dict, dict]:
+    """torchvision / mmdet-style ResNet(-eXt) state_dict -> (params,
+    batch_stats) for `models.resnet.ResNet` (the `torchvision://resnetNN`
+    sources of `mmcv_custom/checkpoint.py:240-300`; also the output format
+    of `tools/model_converters/detectron2pytorch.py`)."""
+    sd = _strip_module(sd)
+    if any(k.startswith("backbone.") for k in sd):
+        sd = {k[len("backbone."):]: v for k, v in sd.items()
+              if k.startswith("backbone.")}
+    from ..models.resnet import ARCH
+    _, depths = ARCH[depth]
+    params: Dict[str, Any] = {"conv1": _conv(sd, "conv1")}
+    stats: Dict[str, Any] = {}
+    params["bn1"], stats["bn1"] = _bn(sd, "bn1")
+    for i, d in enumerate(depths):
+        for j in range(d):
+            src, dst = f"layer{i + 1}.{j}", f"layer{i + 1}_{j}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for n in (1, 2, 3):
+                if f"{src}.conv{n}.weight" not in sd:
+                    continue
+                bp[f"conv{n}"] = _conv(sd, f"{src}.conv{n}")
+                bp[f"bn{n}"], bs[f"bn{n}"] = _bn(sd, f"{src}.bn{n}")
+            if f"{src}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = _conv(sd, f"{src}.downsample.0")
+                bp["downsample_bn"], bs["downsample_bn"] = _bn(
+                    sd, f"{src}.downsample.1")
+            params[dst], stats[dst] = bp, bs
+    return params, stats
+
+
+def convert_regnet_backbone(sd: Dict[str, Any], arch: str
+                            ) -> Tuple[dict, dict]:
+    """pycls RegNet `model_state` -> (params, batch_stats) for
+    `models.backbones_extra.RegNet` (the mapping of
+    `tools/model_converters/regnet2mmdet.py`: stem.conv->conv1,
+    s{i}.b{j}.f.{a,b,c}->conv{1,2,3}, .proj->downsample)."""
+    sd = _strip_module(sd)
+    from ..models.backbones_extra import REGNET_ARCH
+    cfg = REGNET_ARCH[arch]
+    params: Dict[str, Any] = {"conv1": _conv(sd, "stem.conv")}
+    stats: Dict[str, Any] = {}
+    params["bn1"], stats["bn1"] = _bn(sd, "stem.bn")
+    for i, d in enumerate(cfg["depths"]):
+        for j in range(d):
+            src, dst = f"s{i + 1}.b{j + 1}", f"layer{i + 1}_{j}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for sub, n in (("a", 1), ("b", 2), ("c", 3)):
+                bp[f"conv{n}"] = _conv(sd, f"{src}.f.{sub}")
+                bp[f"bn{n}"], bs[f"bn{n}"] = _bn(sd, f"{src}.f.{sub}_bn")
+            if f"{src}.proj.weight" in sd:
+                bp["downsample_conv"] = _conv(sd, f"{src}.proj")
+                bp["downsample_bn"], bs["downsample_bn"] = _bn(
+                    sd, f"{src}.bn")
+            params[dst], stats[dst] = bp, bs
+    return params, stats

@@ -73,7 +73,10 @@ def main():
     train_detector(
         det, dataset,
         work_dir=work_dir,
-        total_epochs=cfg.get("runner", {}).get("max_epochs", 12),
+        # mmcv accepts either runner.max_epochs (2.x dialect) or the
+        # legacy top-level total_epochs (1.x); support both.
+        total_epochs=cfg.get("runner", {}).get(
+            "max_epochs", cfg.get("total_epochs", 12)),
         batch_size=cfg.get("data", {}).get("samples_per_gpu", 2),
         num_workers=cfg.get("data", {}).get("workers_per_gpu", 2),
         base_lr=opt.get("lr", 1e-4),
