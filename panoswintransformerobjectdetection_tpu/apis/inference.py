@@ -17,6 +17,9 @@ from ..runtime.config import Config, load_config
 
 def build_detector_from_cfg(cfg: dict):
     model_cfg = dict(cfg["model"])
+    # `pretrained` is a weight-init directive consumed by the train API
+    # (apis/train._apply_init_weights), not a module attribute
+    model_cfg.pop("pretrained", None)
     return build(DETECTORS, model_cfg)
 
 

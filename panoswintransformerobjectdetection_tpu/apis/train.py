@@ -17,6 +17,51 @@ import numpy as np
 logger = logging.getLogger("panoswin_tpu")
 
 
+def _apply_init_weights(det, state, load_from=None, pretrained=None):
+    """Weight initialization before training (reference semantics:
+    cfg.load_from = whole-detector weights, model.pretrained = backbone
+    init, `mmcv_custom/checkpoint.py:240-300` multi-source loading)."""
+    if load_from:
+        from .inference import load_weights
+        nv = load_weights(det, {"params": state.params,
+                                "batch_stats": state.batch_stats}, load_from)
+        logger.info("load_from %s", load_from)
+        return state.replace(
+            params=nv["params"],
+            batch_stats=nv.get("batch_stats", state.batch_stats))
+    if not pretrained:
+        return state
+    from ..runtime import checkpoint as ck
+    bb = dict(det.backbone)
+    t = bb.get("type", "")
+    sd = ck.load_torch_state_dict(pretrained)
+    stats = None
+    if "Pano" in t:
+        params, stats = ck.convert_panoswin_backbone(
+            sd, tuple(bb.get("depths", (2, 2, 6, 2))),
+            bb.get("window_size", 7))
+    elif "Swin" in t:
+        params, stats = ck.convert_swin_backbone(
+            sd, tuple(bb.get("depths", (2, 2, 6, 2))),
+            bb.get("window_size", 7))
+    elif t == "RegNet":
+        if "model_state" in sd:
+            sd = sd["model_state"]
+        params, stats = ck.convert_regnet_backbone(
+            sd, bb.get("arch", "regnetx_3.2gf"))
+    elif "ResNe" in t:  # ResNet / ResNeXt
+        params, stats = ck.convert_resnet_backbone(sd, bb.get("depth", 50))
+    else:
+        raise ValueError(f"pretrained init not supported for backbone {t!r}")
+    new_params = dict(state.params)
+    new_params["backbone_m"] = params
+    new_stats = dict(state.batch_stats or {})
+    if stats:
+        new_stats["backbone_m"] = stats
+    logger.info("initialized %s backbone from %s", t, pretrained)
+    return state.replace(params=new_params, batch_stats=new_stats)
+
+
 def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
                    batch_size: int = 2, base_lr: float = 1e-4,
                    weight_decay: float = 0.05, warmup_iters: int = 500,
@@ -25,7 +70,9 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
                    log_interval: int = 50, checkpoint_interval: int = 1,
                    eval_fn: Optional[Callable] = None, seed: int = 0,
                    resume_from: Optional[str] = None, hooks=None,
-                   num_workers: int = 2, buckets=None, pad_to=None):
+                   num_workers: int = 2, buckets=None, pad_to=None,
+                   load_from: Optional[str] = None,
+                   pretrained: Optional[str] = None):
     """Returns the final TrainState.
 
     `buckets`/`pad_to` pass through to DetDataLoader; one of them is
@@ -74,6 +121,9 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
                         warmup_iters=warmup_iters, decay_steps=decay_steps,
                         grad_clip=grad_clip, accumulate_steps=accumulate_steps)
     state = create_train_state(det, jax.random.PRNGKey(seed), sample, tx)
+    if not resume_from:
+        state = _apply_init_weights(det, state, load_from=load_from,
+                                    pretrained=pretrained)
     start_epoch = 0
     if resume_from:
         state = load_checkpoint(resume_from, state)

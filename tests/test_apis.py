@@ -276,3 +276,59 @@ class TestSegmEval:
             assert k in metrics, k
         # untrained model: metrics are defined (>= 0), not asserted high
         assert metrics["segm_mAP"] >= 0.0
+
+
+class TestInitWeights:
+    def test_pretrained_backbone_and_load_from(self, tmp_path, monkeypatch):
+        """cfg.load_from / model.pretrained weight-init semantics
+        (`mmcv_custom/checkpoint.py:240-300` role)."""
+        torch = pytest.importorskip("torch")
+        import jax
+        import jax.numpy as jnp
+        from test_converters import TestResNetConverter
+        from panoswintransformerobjectdetection_tpu.models import (
+            DETECTORS, build)
+        from panoswintransformerobjectdetection_tpu.apis.train import (
+            _apply_init_weights)
+        from panoswintransformerobjectdetection_tpu.runtime import (
+            create_train_state, make_optimizer)
+
+        det = build(DETECTORS, {
+            "type": "FasterRCNN",
+            "backbone": {"type": "ResNet", "depth": 18},
+            "neck": {"type": "FPN", "in_channels": (64, 128, 256, 512),
+                     "out_channels": 16, "num_outs": 5},
+            "num_classes": 3,
+        })
+        sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        params = det.init(jax.random.PRNGKey(0), sample)["params"]
+        tx = make_optimizer(params, base_lr=1e-3, weight_decay=0.0,
+                            warmup_iters=1, decay_steps=(10,))
+        state = create_train_state(det, jax.random.PRNGKey(0), sample, tx)
+
+        with torch.no_grad():
+            tm = TestResNetConverter._torch_resnet18()
+        # torch.save/load file IO is torch's own; stub the state-dict
+        # fetch and test the conversion + state wiring
+        from panoswintransformerobjectdetection_tpu.runtime import (
+            checkpoint as ck)
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        monkeypatch.setattr(ck, "load_torch_state_dict", lambda p: sd)
+
+        st2 = _apply_init_weights(det, state, pretrained="r18.pth")
+        want = np.asarray(tm.conv1.weight.detach()).transpose(2, 3, 1, 0)
+        got = np.asarray(st2.params["backbone_m"]["conv1"]["kernel"])
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        # non-backbone params untouched
+        assert st2.params.keys() == state.params.keys()
+
+        # load_from: whole-detector orbax weights round-trip
+        import orbax.checkpoint as ocp
+        ck = str(tmp_path / "full_ckpt")
+        ocp.PyTreeCheckpointer().save(
+            os.path.abspath(ck),
+            {"params": jax.device_get(st2.params),
+             "batch_stats": jax.device_get(st2.batch_stats)}, force=True)
+        st3 = _apply_init_weights(det, state, load_from=ck)
+        got3 = np.asarray(st3.params["backbone_m"]["conv1"]["kernel"])
+        np.testing.assert_allclose(got3, want, atol=1e-6)

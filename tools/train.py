@@ -88,6 +88,8 @@ def main():
         eval_fn=eval_fn,
         seed=args.seed,
         resume_from=args.resume_from,
+        load_from=cfg.get("load_from"),
+        pretrained=cfg.get("model", {}).get("pretrained"),
     )
 
 
