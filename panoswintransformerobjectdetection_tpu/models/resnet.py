@@ -58,6 +58,8 @@ class Bottleneck(nn.Module):
     use_dcn: bool = False     # configs/dcn: deformable 3x3 (DCNv2)
     use_gcb: bool = False     # configs/gcnet: ContextBlock after conv3
     gcb_ratio: float = 1.0 / 16
+    # configs/empirical_attention: GeneralizedAttention after conv2
+    gen_attention: Optional[dict] = None
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -80,6 +82,11 @@ class Bottleneck(nn.Module):
                         feature_group_count=self.groups, use_bias=False,
                         name="conv2")(y)
         y = nn.relu(_bn("bn2", train)(y))
+        if self.gen_attention:
+            from ..ops.gen_attention import GeneralizedAttention
+            ga = {k: v for k, v in self.gen_attention.items() if k != "type"}
+            y = GeneralizedAttention(in_channels=width, name="gen_attention",
+                                     **ga)(y)
         y = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                     name="conv3")(y)
         y = _bn("bn3", train)(y)
@@ -121,6 +128,11 @@ class ResNet(nn.Module):
     # configs/gcnet: gcb=dict(ratio=1/4.), stage_with_gcb=(F, T, T, T)
     gcb: Optional[dict] = None
     stage_with_gcb: Sequence[bool] = (False, False, False, False)
+    # configs/empirical_attention: gen_attention=dict(num_heads=8,
+    # attention_type='1111', kv_stride=2),
+    # stage_with_gen_attention=(F, F, T, T)  (plugin position after_conv2)
+    gen_attention: Optional[dict] = None
+    stage_with_gen_attention: Sequence[bool] = (False, False, False, False)
 
     @nn.compact
     def __call__(self, x, train=False, rfp_feats=None):
@@ -151,7 +163,11 @@ class ResNet(nn.Module):
                         style=self.style,
                         use_dcn=bool(self.dcn) and self.stage_with_dcn[i],
                         use_gcb=bool(self.gcb) and self.stage_with_gcb[i],
-                        gcb_ratio=(self.gcb or {}).get("ratio", 1.0 / 16))
+                        gcb_ratio=(self.gcb or {}).get("ratio", 1.0 / 16),
+                        gen_attention=(self.gen_attention
+                                       if self.gen_attention
+                                       and self.stage_with_gen_attention[i]
+                                       else None))
                 x = block_cls(planes=planes, stride=stride,
                               dilation=self.dilations[i],
                               downsample=need_ds, groups=self.groups,
