@@ -21,6 +21,7 @@ PIPELINES = {
     "RandomCrop": T.RandomCrop,
     "AutoAugment": T.AutoAugment,
     "PhotoMetricDistortion": T.PhotoMetricDistortion,
+    "InstaBoost": T.InstaBoost,
 }
 
 DATASETS = {

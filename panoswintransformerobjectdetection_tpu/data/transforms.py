@@ -423,3 +423,80 @@ class PhotoMetricDistortion:
             img = img * random.uniform(*self.contrast_range)
         results["img"] = np.clip(img, 0, 255)
         return results
+
+
+class InstaBoost:
+    """In-tree InstaBoost (reference `configs/instaboost/` pipelines call
+    the external `instaboostfast` package, `mmdet/datasets/pipelines/
+    instaboost.py`): per-instance crop-jitter-paste augmentation.
+
+    Implements the geometric core of the method — with probability
+    `aug_ratio`, each masked instance is cut out, the hole inpainted from
+    its surroundings, and the instance re-pasted under a random affine
+    (translation bounded by bbox_size/dx,dy; scale; rotation theta in
+    degrees); boxes/masks are updated from the transformed mask.  The
+    appearance-consistency heatmap (matting) refinement of the original
+    package is intentionally omitted — placement is locally jittered, so
+    background statistics stay valid.  'horizontal' restricts motion to x.
+    """
+
+    def __init__(self, action_candidate=("normal", "horizontal", "skip"),
+                 action_prob=(1, 0, 0), scale=(0.8, 1.2), dx=15, dy=15,
+                 theta=(-1, 1), color_prob=0.5, hflag=False,
+                 aug_ratio=0.5):
+        self.action_candidate = tuple(action_candidate)
+        self.action_prob = tuple(action_prob)
+        self.scale = tuple(scale)
+        self.dx, self.dy = dx, dy
+        self.theta = tuple(theta)
+        self.aug_ratio = aug_ratio
+
+    def _jitter_one(self, img, mask, box, action):
+        import cv2
+        h, w = img.shape[:2]
+        x1, y1, x2, y2 = box
+        bw, bh = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
+        tx = random.uniform(-bw / self.dx, bw / self.dx)
+        ty = 0.0 if action == "horizontal" else random.uniform(
+            -bh / self.dy, bh / self.dy)
+        s = random.uniform(*self.scale)
+        ang = random.uniform(*self.theta)
+        cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+        M = cv2.getRotationMatrix2D((cx, cy), ang, s)
+        M[0, 2] += tx
+        M[1, 2] += ty
+
+        m8 = (mask > 0).astype(np.uint8)
+        inst = img * m8[..., None]
+        # fill the source hole from its neighborhood
+        bg = cv2.inpaint(img.astype(np.uint8), m8 * 255, 3,
+                         cv2.INPAINT_TELEA).astype(img.dtype)
+        warped = cv2.warpAffine(inst, M, (w, h))
+        wm = cv2.warpAffine(m8, M, (w, h), flags=cv2.INTER_NEAREST)
+        if wm.sum() < 4:          # jittered off-image: keep the original
+            return img, mask, box
+        out = np.where(wm[..., None] > 0, warped, bg)
+        ys, xs = np.nonzero(wm)
+        nbox = np.array([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1],
+                        np.float32)
+        return out, wm.astype(mask.dtype), nbox
+
+    def __call__(self, results):
+        if "gt_masks" not in results or not len(results["gt_masks"]):
+            return results
+        if random.random() >= self.aug_ratio:
+            return results
+        img = results["img"]
+        boxes = results["gt_bboxes"].copy()
+        masks = list(results["gt_masks"])
+        for i in range(len(masks)):
+            action = random.choices(self.action_candidate,
+                                    weights=self.action_prob)[0]
+            if action == "skip":
+                continue
+            img, masks[i], boxes[i] = self._jitter_one(
+                img, masks[i], boxes[i], action)
+        results["img"] = img
+        results["gt_bboxes"] = boxes
+        results["gt_masks"] = np.stack(masks)
+        return results

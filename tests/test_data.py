@@ -316,3 +316,50 @@ class TestLoaderPrefetch:
                            drop_last=False)
         got = [list(b["indices"]) for b in dl]
         assert got == [[0, 1, 2], [3, 4, 5], [6]]
+
+
+class TestInstaBoost:
+    def test_jitters_instances_and_updates_boxes(self):
+        """InstaBoost geometric core (reference configs/instaboost/):
+        instance moves, box tracks the transformed mask, hole inpainted."""
+        import random as _random
+        from panoswintransformerobjectdetection_tpu.data.transforms import (
+            InstaBoost)
+        _random.seed(3)
+        img = np.full((64, 64, 3), 128, np.float32)
+        mask = np.zeros((64, 64), np.uint8)
+        mask[20:36, 24:40] = 1
+        img[20:36, 24:40] = 250.0
+        results = {"img": img.copy(),
+                   "gt_bboxes": np.array([[24, 20, 40, 36]], np.float32),
+                   "gt_labels": np.array([0]),
+                   "gt_masks": mask[None].copy()}
+        tr = InstaBoost(aug_ratio=1.0, scale=(1.0, 1.0), theta=(0, 0),
+                        dx=4, dy=4)
+        out = tr(results)
+        m2 = out["gt_masks"][0]
+        assert m2.sum() > 0
+        b2 = out["gt_bboxes"][0]
+        ys, xs = np.nonzero(m2)
+        np.testing.assert_allclose(
+            b2, [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+        # pasted pixels carry the instance appearance
+        assert out["img"][m2 > 0].mean() > 200
+
+    def test_skip_and_no_mask_paths(self):
+        from panoswintransformerobjectdetection_tpu.data.transforms import (
+            InstaBoost)
+        tr = InstaBoost(aug_ratio=1.0,
+                        action_candidate=("skip",), action_prob=(1,))
+        img = np.zeros((16, 16, 3), np.float32)
+        r = {"img": img, "gt_bboxes": np.zeros((0, 4), np.float32),
+             "gt_labels": np.zeros((0,), np.int64),
+             "gt_masks": np.zeros((0, 16, 16), np.uint8)}
+        assert tr(r) is r
+        mask = np.zeros((16, 16), np.uint8)
+        mask[4:8, 4:8] = 1
+        r2 = {"img": img.copy(),
+              "gt_bboxes": np.array([[4, 4, 8, 8]], np.float32),
+              "gt_labels": np.array([0]), "gt_masks": mask[None]}
+        out = tr(r2)  # all actions 'skip' -> unchanged
+        np.testing.assert_array_equal(out["gt_masks"][0], mask)
