@@ -27,14 +27,19 @@ class RetinaHead(nn.Module):
     num_anchors: int = 9
     feat_channels: int = 256
     stacked_convs: int = 4
+    # `retina_sepbn_head.py` (configs/nas_fpn RetinaSepBNHead): convs are
+    # shared across pyramid levels but each level keeps its own BatchNorm
+    use_sepbn: bool = False
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, feats):
+    def __call__(self, feats, train: bool = False):
         dt = resolve_dtype(self.dtype)
         cls_convs = [nn.Conv(self.feat_channels, (3, 3), padding=1, dtype=dt,
+                             use_bias=not self.use_sepbn,
                              name=f"cls_conv{i}") for i in range(self.stacked_convs)]
         reg_convs = [nn.Conv(self.feat_channels, (3, 3), padding=1, dtype=dt,
+                             use_bias=not self.use_sepbn,
                              name=f"reg_conv{i}") for i in range(self.stacked_convs)]
         cls_out = nn.Conv(self.num_anchors * self.num_classes, (3, 3), padding=1,
                           dtype=dt, bias_init=nn.initializers.constant(-4.595),
@@ -42,12 +47,22 @@ class RetinaHead(nn.Module):
         reg_out = nn.Conv(self.num_anchors * 4, (3, 3), padding=1, dtype=dt,
                           name="retina_reg")
         cls_scores, bbox_preds = [], []
-        for f in feats:
+        for l, f in enumerate(feats):
             c = r = f if dt is None else f.astype(dt)
-            for conv in cls_convs:
-                c = nn.relu(conv(c))
-            for conv in reg_convs:
-                r = nn.relu(conv(r))
+            for i, conv in enumerate(cls_convs):
+                c = conv(c)
+                if self.use_sepbn:
+                    c = nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.9, epsilon=1e-5,
+                                     name=f"cls_bn{i}_l{l}")(c)
+                c = nn.relu(c)
+            for i, conv in enumerate(reg_convs):
+                r = conv(r)
+                if self.use_sepbn:
+                    r = nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.9, epsilon=1e-5,
+                                     name=f"reg_bn{i}_l{l}")(r)
+                r = nn.relu(r)
             cls_scores.append(cls_out(c).astype(jnp.float32))
             bbox_preds.append(reg_out(r).astype(jnp.float32))
         return tuple(cls_scores), tuple(bbox_preds)
@@ -71,6 +86,8 @@ class RetinaNet(nn.Module):
     # the positive regression loss + CARL term; dict of isr_k/isr_bias/
     # carl_k/carl_bias/carl_weight or None
     pisa: Optional[dict] = None
+    # head overrides (configs/nas_fpn: RetinaSepBNHead -> use_sepbn=True)
+    head: Optional[dict] = None
 
     def setup(self):
         bb = dict(self.backbone)
@@ -84,15 +101,17 @@ class RetinaNet(nn.Module):
         if self.compute_dtype is not None:
             neck_cfg.setdefault("dtype", self.compute_dtype)
         self.neck_m = build(NECKS, neck_cfg)
+        head_cfg = {k: v for k, v in dict(self.head or {}).items()
+                    if k != "type"}
         self.head_m = RetinaHead(num_classes=self.num_classes,
-                                 dtype=self.compute_dtype)
+                                 dtype=self.compute_dtype, **head_cfg)
         self.anchor_gen = AnchorGenerator(
             strides=self.anchor_strides, ratios=(0.5, 1.0, 2.0),
             octave_base_scale=4, scales_per_octave=3)
 
     def __call__(self, images, train: bool = False):
         feats = self.neck_m(self.backbone_m(images, train=train))
-        return self.head_m(feats)
+        return self.head_m(feats, train=train)
 
     def _flat(self, cls_scores, bbox_preds):
         B = cls_scores[0].shape[0]

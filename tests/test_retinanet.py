@@ -94,3 +94,34 @@ def test_free_anchor_train(rng):
                         mutable=["batch_stats"])
     assert float(out2["positive_bag_loss"]) == 0.0
     assert np.isfinite(float(out2["negative_bag_loss"]))
+
+
+def test_retina_sepbn_head(rng):
+    """RetinaSepBNHead variant (reference `retina_sepbn_head.py`,
+    configs/nas_fpn): shared convs, separate BN per pyramid level."""
+    from panoswintransformerobjectdetection_tpu.models import DETECTORS, build
+    det = build(DETECTORS, {
+        "type": "RetinaNet",
+        "backbone": {"type": "ResNet", "depth": 18, "out_indices": (1, 2, 3)},
+        "neck": {"type": "FPN", "in_channels": (128, 256, 512),
+                 "out_channels": 32, "num_outs": 5, "add_extra_convs": True},
+        "num_classes": 3,
+        "head": {"type": "RetinaSepBNHead", "use_sepbn": True,
+                 "stacked_convs": 2, "feat_channels": 32},
+    })
+    imgs = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    v = det.init(jax.random.PRNGKey(0), imgs)
+    hp = v["params"]["head_m"]
+    # separate BN per level, shared convs
+    assert "cls_bn0_l0" in hp and "cls_bn0_l4" in hp
+    assert "cls_conv0" in hp and "cls_conv0_l1" not in hp
+    assert "cls_bn0_l0" in v["batch_stats"]["head_m"]
+    out, _ = det.apply(v, imgs, jnp.full((1, 2), 64.0),
+                       jnp.asarray([[[4, 4, 40, 40.]]]),
+                       jnp.zeros((1, 1), jnp.int32),
+                       jnp.ones((1, 1), bool),
+                       method=det.forward_train, mutable=["batch_stats"])
+    assert np.isfinite(float(out["loss_cls"]))
+    res = det.apply(v, imgs, jnp.full((1, 2), 64.0),
+                    jnp.ones((1, 4), jnp.float32), method=det.simple_test)
+    assert res.boxes.shape[-1] == 4
