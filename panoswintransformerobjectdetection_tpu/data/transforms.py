@@ -449,6 +449,7 @@ class InstaBoost:
         self.scale = tuple(scale)
         self.dx, self.dy = dx, dy
         self.theta = tuple(theta)
+        self.color_prob = color_prob
         self.aug_ratio = aug_ratio
 
     def _jitter_one(self, img, mask, box, action):
@@ -471,6 +472,12 @@ class InstaBoost:
         # fill the source hole from its neighborhood
         bg = cv2.inpaint(img.astype(np.uint8), m8 * 255, 3,
                          cv2.INPAINT_TELEA).astype(img.dtype)
+        if random.random() < self.color_prob:
+            # mild photometric jitter of the pasted instance
+            warp_gain = random.uniform(0.9, 1.1)
+            warp_bias = random.uniform(-10.0, 10.0)
+            inst = np.clip(inst * warp_gain + warp_bias * (m8[..., None] > 0),
+                           0, 255).astype(inst.dtype)
         warped = cv2.warpAffine(inst, M, (w, h))
         wm = cv2.warpAffine(m8, M, (w, h), flags=cv2.INTER_NEAREST)
         if wm.sum() < 4:          # jittered off-image: keep the original
