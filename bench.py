@@ -46,7 +46,7 @@ def main():
     import jax.numpy as jnp
     from __graft_entry__ import _flagship
 
-    B, H, W = 4, 512, 1024
+    B, H, W = int(os.environ.get("BENCH_B", "4")), 512, 1024
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     det = _flagship(compute_dtype=dtype)
     det_infer = _flagship(compute_dtype=dtype, fuse_bn=True)
