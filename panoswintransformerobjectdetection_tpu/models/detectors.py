@@ -236,11 +236,24 @@ class TwoStageDetector(nn.Module):
         sampler_kind = rcnn_cfg.pop("sampler", "random")
         reg_loss = rcnn_cfg.pop("reg_loss", "l1")
         reg_loss_weight = rcnn_cfg.pop("reg_loss_weight", 1.0)
+        score_hlr_cfg = None
         if sampler_kind == "ohem":
             # OHEM (`samplers/ohem_sampler.py` role, fixed-shape variant):
             # draw a 2x random pool, then keep only the hardest half of the
             # negatives by current head CE loss via weight masking
             rcnn_cfg["num_samples"] = rcnn_cfg.get("num_samples", 512) * 2
+        elif sampler_kind == "score_hlr" or (
+                isinstance(sampler_kind, dict)
+                and sampler_kind.get("type") == "score_hlr"):
+            # ScoreHLRSampler (PISA ISR-N): 2x random pool, negatives
+            # re-picked and re-weighted post-head by score_hlr_reweight
+            score_hlr_cfg = dict(sampler_kind) if isinstance(
+                sampler_kind, dict) else {}
+            score_hlr_cfg.pop("type", None)
+            rcnn_cfg["num_samples"] = rcnn_cfg.get("num_samples", 512) * 2
+        elif isinstance(sampler_kind, dict):
+            # CombinedSampler (Libra): pos/neg sampler dict passed through
+            rcnn_cfg["sampler"] = sampler_kind
         samples = sample_rois_for_training(
             rng_rcnn, props.boxes, props.mask, gt_boxes, gt_labels, gt_valid,
             self.num_classes, target_stds=self.rcnn_target_stds, **rcnn_cfg)
@@ -263,6 +276,16 @@ class TwoStageDetector(nn.Module):
                 jnp.arange(order.shape[0]))
             keep = (rank.reshape(B, S) < n_keep) & neg
             new_lw = jnp.where(neg & ~keep, 0.0, samples.label_weights)
+            samples = samples._replace(label_weights=new_lw)
+        elif score_hlr_cfg is not None:
+            from .roi_head import score_hlr_reweight
+            n_pos = (samples.bbox_weights > 0).sum()
+            num_expected = jnp.maximum(
+                rcnn_cfg.get("num_samples", 1024) // 2 - n_pos, 1)
+            new_lw = score_hlr_reweight(
+                jax.random.fold_in(rng_rcnn, 1), cls, reg, samples,
+                self.num_classes, num_expected,
+                target_stds=self.rcnn_target_stds, **score_hlr_cfg)
             samples = samples._replace(label_weights=new_lw)
         losses_out.update(bbox_head_loss(cls, reg, samples, self.num_classes,
                                          pisa=self.pisa, reg_loss=reg_loss,

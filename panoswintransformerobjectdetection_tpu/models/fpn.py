@@ -256,11 +256,14 @@ class FPN_CARAFE(nn.Module):
 @NECKS.register
 class BFP(nn.Module):
     """Balanced Feature Pyramid (`mmdet/models/necks/bfp.py`, Libra R-CNN):
-    gather all levels to the refine level, average, refine with a conv,
-    scatter the residual back to every level."""
+    gather all levels to the refine level, average, refine with a conv
+    (or embedded-gaussian non-local attention, the reference recipe's
+    `refine_type='non_local'` -> mmcv NonLocal2d), scatter the residual
+    back to every level."""
     in_channels: int = 256
     num_levels: int = 5
     refine_level: int = 2
+    refine_type: str = "conv"   # "conv" | "non_local"
     dtype: Any = None
 
     @nn.compact
@@ -279,8 +282,28 @@ class BFP(nn.Module):
                 f = nearest_upsample(f, rh, rw)
             gathered.append(f)
         bsf = sum(gathered) / self.num_levels
-        bsf = nn.Conv(self.in_channels, (3, 3), padding=1, dtype=dt,
-                      name="refine")(bsf)
+        if self.refine_type == "non_local":
+            # NonLocal2d embedded-gaussian (`mmcv/cnn/bricks/non_local.py`):
+            # theta/phi/g 1x1 convs at C/2, softmax attention over all
+            # positions, out-conv residual — pure batched GEMMs, no gathers
+            Bn, H, W, C = bsf.shape
+            mid = max(C // 2, 1)
+            theta = nn.Conv(mid, (1, 1), dtype=dt, name="nl_theta")(bsf)
+            phi = nn.Conv(mid, (1, 1), dtype=dt, name="nl_phi")(bsf)
+            g = nn.Conv(mid, (1, 1), dtype=dt, name="nl_g")(bsf)
+            q = theta.reshape(Bn, H * W, mid)
+            kk = phi.reshape(Bn, H * W, mid)
+            v = g.reshape(Bn, H * W, mid)
+            attn = jax.nn.softmax(
+                jnp.einsum("bqc,bkc->bqk", q, kk).astype(jnp.float32), -1)
+            y = jnp.einsum("bqk,bkc->bqc", attn.astype(q.dtype), v)
+            y = y.reshape(Bn, H, W, mid)
+            bsf = bsf + nn.Conv(C, (1, 1), dtype=dt,
+                                kernel_init=nn.initializers.zeros,
+                                name="nl_out")(y)
+        else:
+            bsf = nn.Conv(self.in_channels, (3, 3), padding=1, dtype=dt,
+                          name="refine")(bsf)
         outs = []
         for i, f in enumerate(feats):
             h, w = f.shape[1:3]

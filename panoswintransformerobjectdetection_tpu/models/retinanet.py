@@ -177,6 +177,13 @@ class RetinaNet(nn.Module):
                 reg, targets, mu=self.loss_bbox.get("mu", 0.02),
                 bins=self.loss_bbox.get("bins", 10), weight=pw,
                 avg_factor=num_pos)
+        elif self.loss_bbox and self.loss_bbox.get("type") == "BalancedL1":
+            # Libra RetinaNet (`configs/libra_rcnn/libra_retinanet_r50...py:20`)
+            loss_bbox = losses.balanced_l1_loss(
+                reg, targets, alpha=self.loss_bbox.get("alpha", 0.5),
+                gamma=self.loss_bbox.get("gamma", 1.5),
+                beta=self.loss_bbox.get("beta", 0.11), weight=pw,
+                avg_factor=num_pos) * self.loss_bbox.get("loss_weight", 1.0)
         else:
             loss_bbox = losses.l1_loss(reg, targets, weight=pw,
                                        avg_factor=num_pos)

@@ -250,9 +250,15 @@ def sample_rois_for_training(rng, proposals, prop_mask, gt_boxes, gt_labels,
                              *, pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=0.5,
                              num_samples=512, pos_fraction=0.25,
                              target_means=(0., 0., 0., 0.),
-                             target_stds=(0.1, 0.1, 0.2, 0.2)) -> RoISamples:
+                             target_stds=(0.1, 0.1, 0.2, 0.2),
+                             sampler="random") -> RoISamples:
     """Assign + sample RCNN rois per image (gt boxes appended as proposals,
     `RandomSampler add_gt_as_proposals`).  Fixed output: pos_cap + num slots.
+
+    sampler: "random" (default) or a dict for CombinedSampler semantics —
+    ``{"pos_sampler": "instance_balanced"|"random",
+    "neg_sampler": "iou_balanced"|"random", ...bin params}`` (the Libra
+    R-CNN recipe, `configs/libra_rcnn/*`).
     """
     B, P, _ = proposals.shape
     G = gt_boxes.shape[1]
@@ -266,7 +272,13 @@ def sample_rois_for_training(rng, proposals, prop_mask, gt_boxes, gt_labels,
         assigned, _ = max_iou_assign(ious, gvalid, pos_iou_thr, neg_iou_thr,
                                      min_pos_iou, match_low_quality=False)
         assigned = jnp.where(cand_valid, assigned, -1)
-        s = random_sample(rng_i, assigned, num_samples, pos_fraction)
+        if isinstance(sampler, dict):
+            from ..core.sampler import combined_sample
+            max_ious = jnp.max(jnp.where(gvalid[:, None], ious, 0.0), axis=0)
+            s = combined_sample(rng_i, assigned, max_ious, num_samples,
+                                pos_fraction, **sampler)
+        else:
+            s = random_sample(rng_i, assigned, num_samples, pos_fraction)
 
         inds = jnp.concatenate([s.pos_inds, s.neg_inds])       # (pos_cap+num,)
         pos_m = jnp.concatenate([s.pos_mask, jnp.zeros_like(s.neg_mask)])
@@ -288,6 +300,85 @@ def sample_rois_for_training(rng, proposals, prop_mask, gt_boxes, gt_labels,
     rois, labels, lw, bt, bw = jax.vmap(single)(
         rngs, proposals, prop_mask, gt_boxes, gt_labels, gt_valid, bidx)
     return RoISamples(rois, labels, lw, bt, bw)
+
+
+def score_hlr_reweight(rng, cls_logits, bbox_pred, samples: RoISamples,
+                       num_classes, num_expected, *,
+                       target_stds=(0.1, 0.1, 0.2, 0.2), k=0.5, bias=0.0,
+                       score_thr=0.05, iou_thr=0.5,
+                       reg_class_agnostic=False) -> jnp.ndarray:
+    """ScoreHLRSampler negative selection + reweighting
+    (`mmdet/core/bbox/samplers/score_hlr_sampler.py:99-213`, PISA ISR-N).
+
+    The reference runs the bbox head on all negatives inside the sampler;
+    here the detector draws a 2x random pool (the OHEM pattern) and this
+    post-head pass picks `num_expected` negatives and maps their
+    Score-HLR to label weights: negatives scoring above `score_thr` are
+    grouped by NMS-match on their decoded boxes, ranked by
+    ``num_valid - group_rank + score``, weighted
+    ``(bias + (1-bias)*(up - rank)/up)**k`` and loss-sum-normalized;
+    below-threshold negatives fill the remainder at the minimum weight.
+
+    Returns the updated label_weights (B, S).
+    """
+    from ..core.bbox import delta_decode
+    from ..ops.nms import nms_match
+
+    B, S = samples.labels.shape
+    logits = jax.lax.stop_gradient(cls_logits).reshape(B, S, -1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    max_score = probs[..., :num_classes].max(-1)                # fg only
+    arg = probs[..., :num_classes].argmax(-1)
+    reg = jax.lax.stop_gradient(bbox_pred).reshape(B, S, -1)
+    if reg_class_agnostic:
+        pred4 = reg
+    else:
+        pred4 = jnp.take_along_axis(
+            reg.reshape(B, S, num_classes, 4),
+            arg[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
+    boxes = delta_decode(samples.rois[..., 1:].reshape(-1, 4),
+                         pred4.reshape(-1, 4), stds=target_stds)
+    # per-image coordinate offset: boxes of different images never match
+    off = (jnp.arange(B, dtype=boxes.dtype) * 1e5)[:, None].repeat(S, 1)
+    flat_boxes = boxes + off.reshape(-1, 1)
+    flat_score = max_score.reshape(-1)
+
+    neg = ((samples.labels == num_classes) &
+           (samples.label_weights > 0)).reshape(-1)
+    valid = neg & (flat_score > score_thr)
+    _, grank, _ = nms_match(flat_boxes, flat_score, iou_thr, valid)
+    num_valid = valid.sum()
+
+    imp = jnp.where(valid, num_valid - grank + flat_score, -jnp.inf)
+    imp_rank = ((imp[None, :] > imp[:, None]) & valid[None, :]).sum(-1)
+
+    # selection order: valid negs by importance, then invalid negs random
+    N = B * S
+    u = jax.random.uniform(rng, (N,))
+    sel_key = jnp.where(valid, 3.0 + (N - imp_rank) / N,
+                        jnp.where(neg, u, -1.0))
+    sel_rank = (sel_key[None, :] > sel_key[:, None]).sum(-1)
+    selected = neg & (sel_rank < num_expected)
+
+    up = jnp.maximum(num_expected, num_valid).astype(jnp.float32)
+    w_valid = (bias + (1.0 - bias) * (up - imp_rank) / up) ** k
+    num_hlr = jnp.minimum(num_valid, num_expected)
+    w_min = (bias + (1.0 - bias) *
+             (up - jnp.maximum(num_hlr - 1, 0)) / up) ** k
+    w = jnp.where(valid & selected, w_valid,
+                  jnp.where(selected, w_min, 0.0))
+    w = jnp.where(num_valid > 0, w, selected.astype(jnp.float32))
+
+    # preserve the total negative CE (`score_hlr_sampler.py:205-208`)
+    nll = -jnp.take_along_axis(
+        jax.nn.log_softmax(logits, -1).reshape(N, -1),
+        jnp.full((N, 1), num_classes), axis=1)[:, 0]
+    sel_f = selected.astype(jnp.float32)
+    ratio = (nll * sel_f).sum() / jnp.maximum((nll * w).sum(), 1e-6)
+    w = w * ratio
+
+    return jnp.where(neg.reshape(B, S), w.reshape(B, S),
+                     samples.label_weights)
 
 
 def bbox_head_loss(cls_logits, bbox_pred, samples: RoISamples, num_classes,
@@ -357,6 +448,11 @@ def bbox_head_loss(cls_logits, bbox_pred, samples: RoISamples, num_classes,
         loss_bbox = losses.l1_loss(pred, samples.bbox_targets,
                                    weight=reg_w[..., None],
                                    avg_factor=num_sampled)
+    elif reg_loss == "balanced_l1":
+        # Libra R-CNN rcnn head (`configs/libra_rcnn/*` BalancedL1Loss)
+        loss_bbox = losses.balanced_l1_loss(
+            pred, samples.bbox_targets, weight=reg_w[..., None],
+            avg_factor=num_sampled) * reg_loss_weight
     else:
         from ..core.bbox import delta_decode
         rois_flat = samples.rois[..., 1:]

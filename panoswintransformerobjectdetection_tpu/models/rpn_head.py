@@ -64,7 +64,7 @@ def flatten_levels(cls_scores, bbox_preds):
 
 def rpn_loss(cls_scores, bbox_preds, anchors, gt_boxes, gt_valid, rng,
              *, pos_iou_thr=0.7, neg_iou_thr=0.3, min_pos_iou=0.3,
-             num_samples=256, pos_fraction=0.5,
+             num_samples=256, pos_fraction=0.5, neg_pos_ub=-1,
              target_means=(0., 0., 0., 0.), target_stds=(1., 1., 1., 1.),
              loss_cls_weight=1.0, loss_bbox_weight=1.0) -> Dict[str, jnp.ndarray]:
     """Anchor-target assembly + sigmoid CE / L1 (`anchor_head.py` loss path).
@@ -78,7 +78,8 @@ def rpn_loss(cls_scores, bbox_preds, anchors, gt_boxes, gt_valid, rng,
         ious = bbox_overlaps(gts, anchors)                     # (G, N)
         assigned, _ = max_iou_assign(ious, gvalid, pos_iou_thr, neg_iou_thr,
                                      min_pos_iou, match_low_quality=True)
-        s = random_sample(rng_i, assigned, num_samples, pos_fraction)
+        s = random_sample(rng_i, assigned, num_samples, pos_fraction,
+                          neg_pos_ub=neg_pos_ub)
         gt_idx = jnp.clip(assigned[s.pos_inds] - 1, 0)
         pos_anchors = anchors[s.pos_inds]
         # targets are constants w.r.t. the network (mmdet builds them in

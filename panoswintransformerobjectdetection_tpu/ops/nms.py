@@ -139,6 +139,59 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, idxs: jnp.ndarray,
     return NMSResult(orig, r.scores, r.idx, r.mask)
 
 
+def nms_match(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
+              valid: jnp.ndarray = None):
+    """Greedy NMS *grouping* (`mmcv.ops.nms_match` semantics, used by
+    ScoreHLRSampler `mmdet/core/bbox/samplers/score_hlr_sampler.py:175`):
+    run greedy NMS, then match every suppressed box to the keeper that
+    suppressed it — in greedy order that is the highest-scored keeper
+    overlapping it above the threshold.
+
+    Fixed-shape formulation: greedy survivorship is the fixpoint of
+    iterated suppression over the full score-ordered IoU matrix (same
+    recurrence as the in-block step of `nms`, here over all N rows since
+    match callers run at sampler sizes, N <= ~2k); the leader/rank maps
+    are then masked argmax / comparison-count reductions — no gathers.
+
+    Returns (leader, rank, keep): ``leader[i]`` = index of i's group
+    leader (itself if kept; arbitrary for invalid), ``rank[i]`` = 0-based
+    score rank within the group (leader = 0), ``keep[i]`` = survived NMS.
+    """
+    N = boxes.shape[0]
+    if valid is not None:
+        scores = jnp.where(valid, scores, NEG_INF)
+    ok = scores > NEG_INF / 2
+    iou = _pairwise_iou(boxes, boxes)
+    # strict score order with index tiebreak (greedy processes ties by
+    # original order, matching the reference's stable sort)
+    higher = (scores[:, None] < scores[None, :]) | \
+        ((scores[:, None] == scores[None, :]) &
+         (jnp.arange(N)[:, None] > jnp.arange(N)[None, :]))
+    over = (iou > iou_threshold) & higher & ok[:, None] & ok[None, :]
+
+    def fix_cond(st):
+        _, changed, it = st
+        return changed & (it < N)
+
+    def fix_body(st):
+        alive, _, it = st
+        killed = jnp.any(over & alive[None, :], axis=1)
+        new_alive = ok & jnp.logical_not(killed)
+        return new_alive, jnp.any(new_alive != alive), it + 1
+
+    keep, _, _ = jax.lax.while_loop(fix_cond, fix_body,
+                                    (ok, jnp.bool_(True), 0))
+
+    # leader(i): kept j maximizing score_j among overlaps > thr (self for
+    # kept boxes since iou(i,i)=1 > thr)
+    cand = (iou > iou_threshold) & keep[None, :]
+    lead_score = jnp.where(cand, scores[None, :], NEG_INF)
+    leader = jnp.argmax(lead_score, axis=1)
+    same_group = (leader[:, None] == leader[None, :]) & ok[None, :]
+    rank = (same_group & higher).sum(axis=1)
+    return leader, rank, keep
+
+
 class DetResult(NamedTuple):
     boxes: jnp.ndarray    # (K, 4)
     scores: jnp.ndarray   # (K,)

@@ -70,13 +70,23 @@ def main():
 
     sched = cfg.get("lr_config", {})
     opt = cfg.get("optimizer", {})
+    # runner.max_epochs (2.x dialect) vs legacy top-level total_epochs
+    # (1.x): like the reference (`mmdet/apis/train.py:113-114`), a config
+    # carrying BOTH with different values is an error, never a silent pick.
+    runner_epochs = cfg.get("runner", {}).get("max_epochs")
+    legacy_epochs = cfg.get("total_epochs")
+    if (runner_epochs is not None and legacy_epochs is not None
+            and runner_epochs != legacy_epochs):
+        raise ValueError(
+            f"runner.max_epochs ({runner_epochs}) != total_epochs "
+            f"({legacy_epochs}); set only one (a child config overriding a "
+            "base schedule must override runner=dict(max_epochs=...))")
+    total_epochs = runner_epochs if runner_epochs is not None else (
+        legacy_epochs if legacy_epochs is not None else 12)
     train_detector(
         det, dataset,
         work_dir=work_dir,
-        # mmcv accepts either runner.max_epochs (2.x dialect) or the
-        # legacy top-level total_epochs (1.x); support both.
-        total_epochs=cfg.get("runner", {}).get(
-            "max_epochs", cfg.get("total_epochs", 12)),
+        total_epochs=total_epochs,
         batch_size=cfg.get("data", {}).get("samples_per_gpu", 2),
         num_workers=cfg.get("data", {}).get("workers_per_gpu", 2),
         base_lr=opt.get("lr", 1e-4),
