@@ -126,3 +126,57 @@ def inference_detector(det, variables, img, pipeline=None, num_classes=None):
         per_class.append(
             np.concatenate([boxes[sel], scores[sel, None]], axis=1).astype(np.float32))
     return per_class
+
+
+async def async_inference_detector(det, variables, img, pipeline=None,
+                                   num_classes=None):
+    """`mmdet/apis/inference.py async_inference_detector` analogue.
+
+    JAX dispatch is already asynchronous; the await point hands the
+    device-to-host fetch to a worker thread so the event loop stays free
+    (the reference awaits the CUDA stream the same way).
+    """
+    import asyncio
+    import functools as _ft
+    loop = asyncio.get_event_loop()
+    return await loop.run_in_executor(
+        None, _ft.partial(inference_detector, det, variables, img,
+                          pipeline=pipeline, num_classes=num_classes))
+
+
+def show_result_pyplot(det, img, result, score_thr: float = 0.3,
+                       fig_size=(15, 10), title: str = "result",
+                       class_names=None, out_file: Optional[str] = None):
+    """`mmdet/apis/inference.py show_result_pyplot` analogue.
+
+    `result` is the `inference_detector` return value (per-class list of
+    (k, 5) arrays).  Renders boxes on the image; shows a matplotlib
+    figure when a display is available, and/or writes `out_file`.
+    Returns the drawn BGR image.
+    """
+    import cv2
+    from ..utils.visualize import show_result as _draw
+    if isinstance(img, str):
+        img = cv2.imread(img, cv2.IMREAD_COLOR)
+    boxes = np.concatenate([r[:, :4] for r in result]) if result else \
+        np.zeros((0, 4), np.float32)
+    scores = np.concatenate([r[:, 4] for r in result]) if result else \
+        np.zeros((0,), np.float32)
+    labels = np.concatenate([np.full(len(r), c, np.int64)
+                             for c, r in enumerate(result)]) if result else \
+        np.zeros((0,), np.int64)
+    drawn = _draw(img, {"boxes": boxes, "scores": scores, "labels": labels},
+                  class_names=class_names or getattr(det, "classes", None),
+                  score_thr=score_thr, out_file=out_file)
+    try:
+        import matplotlib
+        if matplotlib.get_backend().lower() != "agg":
+            import matplotlib.pyplot as plt
+            plt.figure(figsize=fig_size)
+            plt.imshow(cv2.cvtColor(drawn, cv2.COLOR_BGR2RGB))
+            plt.title(title)
+            plt.axis("off")
+            plt.show()
+    except Exception:
+        pass  # headless environments: the rendered array / out_file suffice
+    return drawn

@@ -17,6 +17,21 @@ import numpy as np
 logger = logging.getLogger("panoswin_tpu")
 
 
+def set_random_seed(seed: int, deterministic: bool = False):
+    """`mmdet/apis/train.py set_random_seed` analogue.
+
+    Seeds the host-side RNGs (python `random`, numpy) used by the data
+    pipeline, and returns `jax.random.PRNGKey(seed)` for the device side.
+    `deterministic` is accepted for signature parity but is a no-op: XLA
+    on TPU is deterministic by default (the reference flips cudnn knobs).
+    """
+    import random as _random
+    import jax
+    _random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
 def _apply_init_weights(det, state, load_from=None, pretrained=None):
     """Weight initialization before training (reference semantics:
     cfg.load_from = whole-detector weights, model.pretrained = backbone
