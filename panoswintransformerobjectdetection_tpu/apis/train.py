@@ -148,8 +148,10 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
     step_fn = jit_train_step(make_train_step(det), mesh)
     rng = jax.random.PRNGKey(seed + 1)
 
-    hooks = list(hooks or [])
-    ctx = {"work_dir": work_dir, "epoch": start_epoch, "step": int(state.step)}
+    from ..runtime.hooks import NumClassCheckHook
+    hooks = [NumClassCheckHook()] + list(hooks or [])
+    ctx = {"work_dir": work_dir, "epoch": start_epoch,
+           "step": int(state.step), "model": det, "dataset": dataset}
     for h in hooks:
         h.before_train(ctx)
 

@@ -263,3 +263,51 @@ def isr_weights(ious, pos_mask, k=2.0, bias=0.0):
 def mse_loss(pred, target, weight=None, avg_factor=None):
     """`mmdet/models/losses/mse_loss.py`."""
     return _reduce((pred - target) ** 2, weight, avg_factor)
+
+
+# ---------------------------------------------------------------------------
+# Config-style loss registry (`mmdet/models/builder.py:63 build_loss` role):
+# maps reference `type=` names to the functional losses above.  `build_loss`
+# returns a partial with the config's hyper-parameters bound, so heads can
+# call it as loss(pred, target, weight=..., avg_factor=...).
+# ---------------------------------------------------------------------------
+
+def _register_losses():
+    import functools
+    from ..models.registry import LOSSES
+
+    def reg(name, fn, **bound):
+        class _Cfg:                                    # closure factory
+            def __new__(cls, loss_weight=1.0, **kw):
+                kw = {**bound, **kw}
+                kw.pop("use_sigmoid", None)
+                kw.pop("reduction", None)
+                base = functools.partial(fn, **kw) if kw else fn
+
+                if loss_weight == 1.0:
+                    return base
+
+                def scaled(*a, **k):
+                    return base(*a, **k) * loss_weight
+                return scaled
+        _Cfg.__name__ = name
+        LOSSES.register(_Cfg, name=name)
+
+    reg("CrossEntropyLoss", cross_entropy)
+    reg("L1Loss", l1_loss)
+    reg("SmoothL1Loss", smooth_l1_loss)
+    reg("GIoULoss", giou_loss)
+    reg("IoULoss", iou_loss)
+    reg("FocalLoss", sigmoid_focal_loss)
+    reg("GHMC", ghm_c_loss)
+    reg("GHMR", ghm_r_loss)
+    reg("BalancedL1Loss", balanced_l1_loss)
+    reg("QualityFocalLoss", quality_focal_loss)
+    reg("DistributionFocalLoss", distribution_focal_loss)
+    reg("VarifocalLoss", varifocal_loss)
+    reg("GaussianFocalLoss", gaussian_focal_loss)
+    reg("KnowledgeDistillationKLDivLoss", kd_kl_div_loss)
+    reg("MSELoss", mse_loss)
+
+
+_register_losses()

@@ -14,6 +14,8 @@ from .datasets import (CocoStyleDataset, CocoDataset, StreetDataset,
                        Indoor360Dataset, VOCDataset)
 from .wrappers import RepeatDataset, ConcatDataset, ClassBalancedDataset
 from .loader import DetDataLoader
+from .builder import (DATASETS, PIPELINES, build_dataset, build_dataloader,
+                      replace_ImageToTensor, get_loading_pipeline)
 
 __all__ = [
     "LoadImageFromFile", "LoadAnnotations", "Resize", "PanoResize",
@@ -22,4 +24,6 @@ __all__ = [
     "Compose", "CocoStyleDataset", "CocoDataset", "StreetDataset",
     "Indoor360Dataset", "VOCDataset", "RepeatDataset", "ConcatDataset",
     "ClassBalancedDataset", "DetDataLoader",
+    "DATASETS", "PIPELINES", "build_dataset", "build_dataloader",
+    "replace_ImageToTensor", "get_loading_pipeline",
 ]

@@ -23,8 +23,9 @@ class RepeatDataset:
 
 
 class ConcatDataset:
-    def __init__(self, datasets: Sequence):
+    def __init__(self, datasets: Sequence, separate_eval: bool = True):
         self.datasets = list(datasets)
+        self.separate_eval = separate_eval
         self.CLASSES = datasets[0].CLASSES
         self.offsets = np.cumsum([0] + [len(d) for d in datasets])
         self.flags = np.concatenate(
@@ -36,6 +37,24 @@ class ConcatDataset:
     def __getitem__(self, i):
         di = int(np.searchsorted(self.offsets, i, side="right")) - 1
         return self.datasets[di][i - int(self.offsets[di])]
+
+    def evaluate(self, results, **kwargs):
+        """Per-sub-dataset evaluation (`dataset_wrappers.py ConcatDataset
+        .evaluate` separate_eval semantics): results are sliced by dataset
+        boundary and metric keys prefixed with the slice index."""
+        if not self.separate_eval:
+            raise NotImplementedError(
+                "joint eval across concatenated datasets is not supported; "
+                "use separate_eval=True (the reference only joint-evals "
+                "same-type datasets and so does this framework)")
+        assert len(results) == len(self), (
+            f"results ({len(results)}) != dataset size ({len(self)})")
+        out = {}
+        for di, ds in enumerate(self.datasets):
+            lo, hi = int(self.offsets[di]), int(self.offsets[di + 1])
+            for k, v in ds.evaluate(results[lo:hi], **kwargs).items():
+                out[f"{di}_{k}"] = v
+        return out
 
 
 class ClassBalancedDataset:

@@ -40,4 +40,40 @@ from . import htc  # noqa: F401
 from . import hrnet  # noqa: F401
 from . import hourglass  # noqa: F401
 
-__all__ = ["BACKBONES", "NECKS", "HEADS", "DETECTORS", "LOSSES", "build", "register"]
+def build_backbone(cfg):
+    """`mmdet/models/builder.py:38` analogue."""
+    return build(BACKBONES, cfg)
+
+
+def build_neck(cfg):
+    """`mmdet/models/builder.py:43` analogue."""
+    return build(NECKS, cfg)
+
+
+def build_head(cfg):
+    """`mmdet/models/builder.py:58` analogue."""
+    return build(HEADS, cfg)
+
+
+def build_loss(cfg):
+    """`mmdet/models/builder.py:63` analogue: returns the loss *callable*
+    from `core.losses` (losses here are functions, not modules)."""
+    return build(LOSSES, cfg)
+
+
+def build_detector(cfg, train_cfg=None, test_cfg=None):
+    """`mmdet/models/builder.py:68` analogue.  `cfg` is the model dict
+    (with `type`); optional train_cfg/test_cfg are merged in the same way
+    the reference injects them as constructor kwargs."""
+    cfg = dict(cfg)
+    cfg.pop("pretrained", None)   # weight-init directive, not an attribute
+    if train_cfg is not None:
+        cfg["train_cfg"] = train_cfg
+    if test_cfg is not None:
+        cfg["test_cfg"] = test_cfg
+    return build(DETECTORS, cfg)
+
+
+__all__ = ["BACKBONES", "NECKS", "HEADS", "DETECTORS", "LOSSES", "build",
+           "register", "build_backbone", "build_neck", "build_head",
+           "build_loss", "build_detector"]

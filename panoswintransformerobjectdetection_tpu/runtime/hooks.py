@@ -49,3 +49,24 @@ class EmptyCacheHook(Hook):
             import jax
             n = sum(1 for _ in jax.live_arrays())
             ctx.setdefault("logs", []).append(f"live arrays: {n}")
+
+
+class NumClassCheckHook(Hook):
+    """`mmdet/datasets/utils.py NumClassCheckHook` role: before training,
+    verify the detector head's `num_classes` matches the dataset's CLASSES
+    length (the single most common config mistake when swapping datasets).
+    Expects ctx keys "model" and "dataset" (train loop provides them)."""
+
+    def before_train(self, ctx):
+        det = ctx.get("model")
+        ds = ctx.get("dataset")
+        classes = getattr(ds, "CLASSES", None)
+        nc = getattr(det, "num_classes", None)
+        if classes is None or nc is None:
+            return
+        if len(classes) != nc:
+            import logging
+            logging.getLogger("panoswin_tpu").warning(
+                "model num_classes (%d) != len(dataset.CLASSES) (%d): "
+                "fix model.num_classes or pass classes= to the dataset",
+                nc, len(classes))

@@ -363,3 +363,93 @@ class TestInstaBoost:
               "gt_labels": np.array([0]), "gt_masks": mask[None]}
         out = tr(r2)  # all actions 'skip' -> unchanged
         np.testing.assert_array_equal(out["gt_masks"][0], mask)
+
+
+class TestBuilderApi:
+    """`mmdet/datasets` builder/util API parity (`builder.py:53,75`,
+    `utils.py:13,73`, `dataset_wrappers.py ConcatDataset`)."""
+
+    def test_build_dataset_concat_list_cfg(self, coco_dir):
+        from panoswintransformerobjectdetection_tpu.data import build_dataset
+        ann, imgs = coco_dir
+        sub = dict(type="StreetDataset", ann_file=ann, img_prefix=imgs,
+                   pipeline=[dict(type="LoadImageFromFile")])
+        ds = build_dataset([sub, sub])
+        assert len(ds) == 8 and ds.CLASSES[0] == "car"
+
+    def test_build_dataset_list_ann_file(self, coco_dir):
+        from panoswintransformerobjectdetection_tpu.data import build_dataset
+        ann, imgs = coco_dir
+        ds = build_dataset(dict(type="StreetDataset", ann_file=[ann, ann],
+                                img_prefix=[imgs, imgs],
+                                pipeline=[dict(type="LoadImageFromFile")]))
+        assert len(ds) == 8
+
+    def test_concat_separate_eval(self, coco_dir):
+        from panoswintransformerobjectdetection_tpu.data import build_dataset
+        ann, imgs = coco_dir
+        ds = build_dataset(dict(type="StreetDataset", ann_file=[ann, ann],
+                                img_prefix=imgs, test_mode=True,
+                                pipeline=[dict(type="LoadImageFromFile")]))
+        perfect = []
+        for d in (ds.datasets[0], ds.datasets[1]):
+            for r in d.records:
+                perfect.append({"boxes": r["bboxes"],
+                                "scores": np.ones(len(r["bboxes"]), np.float32),
+                                "labels": r["labels"]})
+        out = ds.evaluate(perfect)
+        assert out["0_bbox_mAP"] > 0.95 and out["1_bbox_mAP"] > 0.95
+
+    def test_build_dataloader(self, coco_dir):
+        from panoswintransformerobjectdetection_tpu.data import (
+            build_dataset, build_dataloader)
+        ann, imgs = coco_dir
+        ds = build_dataset(dict(
+            type="StreetDataset", ann_file=ann, img_prefix=imgs,
+            pipeline=[dict(type="LoadImageFromFile"),
+                      dict(type="LoadAnnotations", with_bbox=True),
+                      dict(type="Pad", size_divisor=32)]))
+        loader = build_dataloader(ds, samples_per_gpu=2, workers_per_gpu=0)
+        batch = next(iter(loader))
+        assert batch["images"].shape[0] == 2
+
+    def test_replace_image_to_tensor(self):
+        from panoswintransformerobjectdetection_tpu.data import replace_ImageToTensor
+        pipe = [dict(type="LoadImageFromFile"),
+                dict(type="MultiScaleFlipAug", img_scale=(64, 32), flip=False,
+                     transforms=[dict(type="Resize", keep_ratio=True),
+                                 dict(type="ImageToTensor", keys=["img"])])]
+        out = replace_ImageToTensor(pipe)
+        assert out[1]["transforms"][1] == {"type": "DefaultFormatBundle"}
+        assert pipe[1]["transforms"][1]["type"] == "ImageToTensor"  # no mutation
+
+    def test_get_loading_pipeline(self):
+        from panoswintransformerobjectdetection_tpu.data import get_loading_pipeline
+        pipe = [dict(type="LoadImageFromFile"),
+                dict(type="LoadAnnotations", with_bbox=True),
+                dict(type="Resize", img_scale=(64, 32)),
+                dict(type="Normalize", mean=[0] * 3, std=[1] * 3)]
+        out = get_loading_pipeline(pipe)
+        assert [p["type"] for p in out] == ["LoadImageFromFile",
+                                            "LoadAnnotations"]
+
+    def test_lvis_xml_aliases_registered(self):
+        from panoswintransformerobjectdetection_tpu.data import DATASETS
+        for k in ("LVISV05Dataset", "LVISV1Dataset", "XMLDataset"):
+            assert k in DATASETS
+
+    def test_model_builders(self):
+        from panoswintransformerobjectdetection_tpu.models import (
+            build_backbone, build_detector, build_loss)
+        bb = build_backbone(dict(type="ResNet", depth=18))
+        assert bb is not None
+        det = build_detector(dict(type="FasterRCNN", num_classes=3,
+                                  backbone=dict(type="ResNet", depth=18),
+                                  neck=dict(in_channels=(64, 128, 256, 512),
+                                            out_channels=32)),
+                             test_cfg=dict(rcnn=dict(max_per_img=8)))
+        assert det.test_cfg["rcnn"]["max_per_img"] == 8
+        import jax.numpy as jnp
+        f = build_loss(dict(type="GIoULoss", loss_weight=10.0))
+        z = f(jnp.array([[0., 0., 2., 2.]]), jnp.array([[0., 0., 2., 2.]]))
+        assert abs(float(z)) < 1e-5
