@@ -7,6 +7,9 @@ boolean indexing anywhere.
 
 from .bbox import (
     bbox_overlaps, bbox_area, delta_encode, delta_decode, clip_boxes, flip_boxes,
+    bbox_flip, bbox_mapping, bbox_mapping_back, bbox2roi, roi2bbox,
+    bbox2result, distance2bbox, bbox2distance, bbox_rescale,
+    bbox_cxcywh_to_xyxy, bbox_xyxy_to_cxcywh, multi_apply,
 )
 from .anchors import AnchorGenerator
 from .assigner import max_iou_assign
@@ -16,4 +19,7 @@ from . import losses
 __all__ = [
     "bbox_overlaps", "bbox_area", "delta_encode", "delta_decode", "clip_boxes",
     "flip_boxes", "AnchorGenerator", "max_iou_assign", "random_sample", "losses",
+    "bbox_flip", "bbox_mapping", "bbox_mapping_back", "bbox2roi", "roi2bbox",
+    "bbox2result", "distance2bbox", "bbox2distance", "bbox_rescale",
+    "bbox_cxcywh_to_xyxy", "bbox_xyxy_to_cxcywh", "multi_apply",
 ]

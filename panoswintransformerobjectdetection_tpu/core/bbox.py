@@ -133,3 +133,134 @@ def unnormalize01_xyxy(boxes: jnp.ndarray, w, h) -> jnp.ndarray:
     """[0, 1] normalized xyxy -> pixels (`coor_transition.py:24`)."""
     s = jnp.asarray([w, h, w, h], boxes.dtype)
     return boxes * s
+
+
+# ---------------------------------------------------------------------------
+# Reference-named transform API (`mmdet/core/bbox/transforms.py`), for users
+# porting custom heads.  Pure-functional jnp rewrites: stride-4 multi-box
+# layouts are reshaped to (..., k, 4) and re-flattened instead of the
+# reference's in-place strided writes.
+# ---------------------------------------------------------------------------
+
+def bbox_flip(bboxes, img_shape, direction: str = "horizontal"):
+    """`transforms.py:5`: flip (..., 4k) boxes inside (H, W) `img_shape`;
+    direction horizontal | vertical | diagonal."""
+    assert bboxes.shape[-1] % 4 == 0
+    assert direction in ("horizontal", "vertical", "diagonal")
+    h, w = img_shape[0], img_shape[1]
+    b = bboxes.reshape(*bboxes.shape[:-1], -1, 4)
+    x1, y1, x2, y2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    if direction in ("horizontal", "diagonal"):
+        x1, x2 = w - x2, w - x1
+    if direction in ("vertical", "diagonal"):
+        y1, y2 = h - y2, h - y1
+    return jnp.stack([x1, y1, x2, y2], -1).reshape(bboxes.shape)
+
+
+def bbox_mapping(bboxes, img_shape, scale_factor, flip,
+                 flip_direction: str = "horizontal"):
+    """`transforms.py:34`: original-image boxes -> testing (aug) scale."""
+    out = bboxes * jnp.asarray(scale_factor, bboxes.dtype)
+    return bbox_flip(out, img_shape, flip_direction) if flip else out
+
+
+def bbox_mapping_back(bboxes, img_shape, scale_factor, flip,
+                      flip_direction: str = "horizontal"):
+    """`transforms.py:46`: testing-scale boxes -> original image scale."""
+    out = bbox_flip(bboxes, img_shape, flip_direction) if flip else bboxes
+    return out / jnp.asarray(scale_factor, bboxes.dtype)
+
+
+def bbox2roi(bbox_list):
+    """`transforms.py:58`: per-image (n_i, 4) boxes -> (sum n_i, 5) rois
+    with a leading image index.  With equal n_i (the fixed-shape case) the
+    result is block-ordered, matching `multilevel_roi_align`'s fast path."""
+    rois = []
+    for i, b in enumerate(bbox_list):
+        idx = jnp.full((b.shape[0], 1), float(i), b.dtype)
+        rois.append(jnp.concatenate([idx, b[:, :4]], axis=1))
+    return jnp.concatenate(rois, axis=0) if rois else jnp.zeros((0, 5))
+
+
+def roi2bbox(rois):
+    """`transforms.py:80`: (R, 5) rois -> per-image list of (n_i, 4).
+    Host-side (ragged output can't be jitted)."""
+    import numpy as np
+    rois = np.asarray(rois)
+    return [rois[rois[:, 0] == i, 1:] for i in np.unique(rois[:, 0])]
+
+
+def bbox2result(bboxes, labels, num_classes):
+    """`transforms.py:99`: (n, 5) boxes+score and (n,) labels -> per-class
+    list of numpy (k, 5).  Host-side result formatting."""
+    import numpy as np
+    bboxes = np.asarray(bboxes)
+    labels = np.asarray(labels)
+    if bboxes.shape[0] == 0:
+        return [np.zeros((0, 5), np.float32) for _ in range(num_classes)]
+    return [bboxes[labels == i, :].astype(np.float32)
+            for i in range(num_classes)]
+
+
+def distance2bbox(points, distance, max_shape=None):
+    """`transforms.py:119`: (l, t, r, b) distances from points -> xyxy,
+    optionally clamped to (H, W) `max_shape`."""
+    x1 = points[..., 0] - distance[..., 0]
+    y1 = points[..., 1] - distance[..., 1]
+    x2 = points[..., 0] + distance[..., 2]
+    y2 = points[..., 1] + distance[..., 3]
+    if max_shape is not None:
+        h, w = max_shape[0], max_shape[1]
+        x1, x2 = jnp.clip(x1, 0, w), jnp.clip(x2, 0, w)
+        y1, y2 = jnp.clip(y1, 0, h), jnp.clip(y2, 0, h)
+    return jnp.stack([x1, y1, x2, y2], -1)
+
+
+def bbox2distance(points, bbox, max_dis=None, eps=0.1):
+    """`transforms.py:159`: xyxy boxes -> (l, t, r, b) distances,
+    optionally clipped into [0, max_dis - eps] (DFL integral range)."""
+    left = points[..., 0] - bbox[..., 0]
+    top = points[..., 1] - bbox[..., 1]
+    right = bbox[..., 2] - points[..., 0]
+    bottom = bbox[..., 3] - points[..., 1]
+    d = jnp.stack([left, top, right, bottom], -1)
+    if max_dis is not None:
+        d = jnp.clip(d, 0, max_dis - eps)
+    return d
+
+
+def bbox_rescale(bboxes, scale_factor: float = 1.0):
+    """`transforms.py:183`: scale box w/h about the center; accepts (n, 4)
+    boxes or (n, 5) rois (index column preserved)."""
+    box = bboxes[:, 1:] if bboxes.shape[1] == 5 else bboxes
+    cx = (box[:, 0] + box[:, 2]) * 0.5
+    cy = (box[:, 1] + box[:, 3]) * 0.5
+    w = (box[:, 2] - box[:, 0]) * scale_factor
+    h = (box[:, 3] - box[:, 1]) * scale_factor
+    out = jnp.stack([cx - 0.5 * w, cy - 0.5 * h,
+                     cx + 0.5 * w, cy + 0.5 * h], -1)
+    if bboxes.shape[1] == 5:
+        out = jnp.concatenate([bboxes[:, :1], out], axis=1)
+    return out
+
+
+def bbox_cxcywh_to_xyxy(bbox):
+    """`transforms.py:215`."""
+    cx, cy, w, h = bbox[..., 0], bbox[..., 1], bbox[..., 2], bbox[..., 3]
+    return jnp.stack([cx - 0.5 * w, cy - 0.5 * h,
+                      cx + 0.5 * w, cy + 0.5 * h], -1)
+
+
+def bbox_xyxy_to_cxcywh(bbox):
+    """`transforms.py:229`."""
+    x1, y1, x2, y2 = bbox[..., 0], bbox[..., 1], bbox[..., 2], bbox[..., 3]
+    return jnp.stack([(x1 + x2) * 0.5, (y1 + y2) * 0.5, x2 - x1, y2 - y1], -1)
+
+
+def multi_apply(func, *args, **kwargs):
+    """`mmdet/core/utils/misc.py:10`: map func over zipped list args,
+    transpose the per-call tuples into per-output tuples."""
+    import functools
+    pfunc = functools.partial(func, **kwargs) if kwargs else func
+    map_results = map(pfunc, *args)
+    return tuple(map(list, zip(*map_results)))

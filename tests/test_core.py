@@ -427,3 +427,90 @@ class TestPointAssign:
         a = np.asarray(point_assign(pts, strides, gts,
                                     jnp.asarray([True, True]), pos_num=1))
         assert a[0] == 2
+
+
+class TestReferenceTransformApi:
+    """`mmdet/core/bbox/transforms.py` named API (jnp rewrites)."""
+
+    def test_bbox_flip_directions(self):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.core import bbox_flip
+        b = jnp.array([[10., 20., 30., 40.]])
+        hshape = (100, 200)
+        h = bbox_flip(b, hshape, "horizontal")
+        np.testing.assert_allclose(np.asarray(h), [[170., 20., 190., 40.]])
+        v = bbox_flip(b, hshape, "vertical")
+        np.testing.assert_allclose(np.asarray(v), [[10., 60., 30., 80.]])
+        d = bbox_flip(b, hshape, "diagonal")
+        np.testing.assert_allclose(np.asarray(d), [[170., 60., 190., 80.]])
+        # 4k layout
+        b8 = jnp.concatenate([b, b], axis=-1)
+        h8 = bbox_flip(b8, hshape, "horizontal")
+        np.testing.assert_allclose(np.asarray(h8)[:, :4], np.asarray(h))
+        np.testing.assert_allclose(np.asarray(h8)[:, 4:], np.asarray(h))
+
+    def test_bbox_mapping_round_trip(self):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.core import (
+            bbox_mapping, bbox_mapping_back)
+        b = jnp.array([[10., 20., 30., 40.]])
+        sf = jnp.array([2., 2., 2., 2.])
+        fwd = bbox_mapping(b, (200, 400), sf, True, "horizontal")
+        back = bbox_mapping_back(fwd, (200, 400), sf, True, "horizontal")
+        np.testing.assert_allclose(np.asarray(back), np.asarray(b), atol=1e-5)
+
+    def test_bbox2roi_roi2bbox(self):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.core import bbox2roi, roi2bbox
+        per_img = [jnp.array([[1., 2., 3., 4.]]),
+                   jnp.array([[5., 6., 7., 8.], [9., 10., 11., 12.]])]
+        rois = bbox2roi(per_img)
+        assert rois.shape == (3, 5)
+        np.testing.assert_allclose(np.asarray(rois[:, 0]), [0., 1., 1.])
+        back = roi2bbox(rois)
+        np.testing.assert_allclose(back[1], np.asarray(per_img[1]))
+
+    def test_bbox2result_partition(self):
+        from panoswintransformerobjectdetection_tpu.core import bbox2result
+        boxes = np.array([[0, 0, 1, 1, .9], [2, 2, 3, 3, .8]], np.float32)
+        out = bbox2result(boxes, np.array([1, 0]), 3)
+        assert len(out) == 3 and out[2].shape == (0, 5)
+        np.testing.assert_allclose(out[0], boxes[1:])
+        out0 = bbox2result(np.zeros((0, 5)), np.zeros((0,)), 2)
+        assert all(o.shape == (0, 5) for o in out0)
+
+    def test_distance2bbox_round_trip_and_clamp(self):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.core import (
+            distance2bbox, bbox2distance)
+        pts = jnp.array([[50., 50.], [10., 90.]])
+        box = jnp.array([[40., 30., 80., 70.], [0., 80., 30., 100.]])
+        d = bbox2distance(pts, box)
+        np.testing.assert_allclose(np.asarray(distance2bbox(pts, d)),
+                                   np.asarray(box), atol=1e-5)
+        clamped = distance2bbox(pts, d + 1000.0, max_shape=(100, 100))
+        assert float(clamped.max()) <= 100.0 and float(clamped.min()) >= 0.0
+
+    def test_bbox_rescale_and_cxcywh(self):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.core import (
+            bbox_rescale, bbox_cxcywh_to_xyxy, bbox_xyxy_to_cxcywh)
+        b = jnp.array([[10., 10., 30., 50.]])
+        r = bbox_rescale(b, 2.0)
+        np.testing.assert_allclose(np.asarray(r), [[0., -10., 40., 70.]])
+        roi = jnp.array([[3., 10., 10., 30., 50.]])
+        r5 = bbox_rescale(roi, 2.0)
+        assert float(r5[0, 0]) == 3.0
+        cw = bbox_xyxy_to_cxcywh(b)
+        np.testing.assert_allclose(np.asarray(cw), [[20., 30., 20., 40.]])
+        np.testing.assert_allclose(np.asarray(bbox_cxcywh_to_xyxy(cw)),
+                                   np.asarray(b), atol=1e-6)
+
+    def test_multi_apply(self):
+        from panoswintransformerobjectdetection_tpu.core import multi_apply
+
+        def f(a, b, k=1):
+            return a + b * k, a - b
+
+        sums, diffs = multi_apply(f, [1, 2], [10, 20], k=2)
+        assert sums == [21, 42] and diffs == [-9, -18]
