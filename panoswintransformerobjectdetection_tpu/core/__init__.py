@@ -14,6 +14,8 @@ from .bbox import (
 from .anchors import AnchorGenerator
 from .assigner import max_iou_assign
 from .sampler import random_sample
+from .merge_augs import (merge_aug_proposals, merge_aug_bboxes,
+                         merge_aug_scores, merge_aug_masks)
 from . import losses
 
 __all__ = [
@@ -22,4 +24,6 @@ __all__ = [
     "bbox_flip", "bbox_mapping", "bbox_mapping_back", "bbox2roi", "roi2bbox",
     "bbox2result", "distance2bbox", "bbox2distance", "bbox_rescale",
     "bbox_cxcywh_to_xyxy", "bbox_xyxy_to_cxcywh", "multi_apply",
+    "merge_aug_proposals", "merge_aug_bboxes", "merge_aug_scores",
+    "merge_aug_masks",
 ]

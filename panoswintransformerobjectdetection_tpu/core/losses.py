@@ -275,6 +275,8 @@ def mse_loss(pred, target, weight=None, avg_factor=None):
 def _register_losses():
     import functools
     from ..models.registry import LOSSES
+    if "L1Loss" in LOSSES:      # idempotent
+        return
 
     def reg(name, fn, **bound):
         class _Cfg:                                    # closure factory
@@ -310,4 +312,7 @@ def _register_losses():
     reg("MSELoss", mse_loss)
 
 
-_register_losses()
+# NOTE: _register_losses() is invoked from models/__init__.py (after the
+# registry module is loaded), NOT at import time here — importing the
+# models package from this module would be circular when the import chain
+# enters through ops.nms -> core.bbox.

@@ -1,6 +1,10 @@
 """Model zoo: backbones, necks, heads, detectors (flax.linen modules)."""
 
 from .registry import BACKBONES, NECKS, HEADS, DETECTORS, LOSSES, build, register
+
+from ..core.losses import _register_losses as _reg_losses
+_reg_losses()   # populate LOSSES (deferred from core.losses: import order)
+del _reg_losses
 from . import panoswin  # noqa: F401  (registers PanoSwinTransformer)
 from . import panoswin_v2  # noqa: F401
 from . import panoswin_v1  # noqa: F401

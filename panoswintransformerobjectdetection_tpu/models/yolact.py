@@ -224,9 +224,13 @@ class YOLACT(nn.Module):
 
     def simple_test(self, images, img_shapes, scale_factors=None,
                     *, nms_pre=1000, score_thr=0.05, iou_threshold=0.5,
-                    max_per_img=100):
+                    max_per_img=100, nms_type="fast", fast_nms_top_k=200):
         """Returns (DetResult, masks (B, K, Hp, Wp) probabilities at proto
-        resolution, cropped to the detected boxes)."""
+        resolution, cropped to the detected boxes).
+
+        nms_type "fast" (default) = YOLACT Fast NMS
+        (`yolact.py simple_test` -> `fast_nms`, the reference's test path);
+        "batched" = exact greedy class-wise NMS."""
         cls_l, reg_l, coef_l, protos, _ = self(images, train=False)
         cls, reg, coef, anchors = self._flat(cls_l, reg_l, coef_l)
         B = cls.shape[0]
@@ -238,6 +242,25 @@ class YOLACT(nn.Module):
         x = jnp.clip(boxes[..., 0::2], 0, w)
         y = jnp.clip(boxes[..., 1::2], 0, h)
         boxes = jnp.stack([x[..., 0], y[..., 0], x[..., 1], y[..., 1]], -1)
+
+        if nms_type == "fast":
+            from ..ops.nms import fast_nms
+
+            def one_fast(b, p, c, proto):
+                det, ck = fast_nms(b, p, iou_threshold, max_per_img,
+                                   top_k=fast_nms_top_k,
+                                   score_thr=score_thr, coeffs=c)
+                m = jax.nn.sigmoid(jnp.einsum("hwp,kp->khw", proto, ck))
+                m = jax.vmap(lambda mm, bb: crop_mask(
+                    mm, bb, float(self.proto_stride)))(m, det.boxes)
+                return det, m
+
+            dets, masks = jax.vmap(one_fast)(boxes, prob, coef, protos)
+            if scale_factors is not None:
+                dets = DetResult(dets.boxes / scale_factors[:, None, :],
+                                 dets.scores, dets.labels, dets.mask)
+            return dets, masks
+
         flat = prob.reshape(B, -1)
         k = min(nms_pre, flat.shape[1])
         top_s, top_i = jax.lax.top_k(flat, k)

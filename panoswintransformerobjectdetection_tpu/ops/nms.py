@@ -249,6 +249,47 @@ def multiclass_nms(multi_boxes: jnp.ndarray, multi_scores: jnp.ndarray,
                      jnp.where(r.mask, labels, -1), r.mask)
 
 
+def fast_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
+             max_per_img: int, top_k: int = 200, score_thr: float = 0.05,
+             coeffs: jnp.ndarray = None, valid: jnp.ndarray = None):
+    """YOLACT Fast NMS (`mmdet/core/post_processing/bbox_nms.py:96`).
+
+    Unlike greedy NMS, an already-suppressed box may still suppress others
+    — which makes the whole decision one upper-triangular IoU-max per
+    class, i.e. pure batched matrix ops with zero sequential depth: the
+    natural TPU formulation (the reference keeps it for the same reason on
+    GPU).
+
+    boxes (N, 4) shared across classes; scores (N, C) foreground only;
+    coeffs optional (N, D) rides along (YOLACT mask coefficients).
+    Returns (DetResult, coeffs (max_per_img, D) or None).
+    """
+    N, C = scores.shape
+    sc = scores.T                                          # (C, N)
+    if valid is not None:
+        sc = jnp.where(valid[None, :], sc, NEG_INF)
+    k = min(top_k, N)
+    top_s, idx = jax.lax.top_k(sc, k)                      # (C, k) sorted
+    bx = boxes[idx.reshape(-1)].reshape(C, k, 4)
+    iou = jax.vmap(_pairwise_iou)(bx, bx)                  # (C, k, k)
+    tri = jnp.arange(k)[:, None] < jnp.arange(k)[None, :]  # row above col
+    iou_max = jnp.where(tri, iou, 0.0).max(axis=1)         # (C, k)
+    keep = (iou_max <= iou_threshold) & (top_s > score_thr)
+
+    flat_s = jnp.where(keep, top_s, NEG_INF).reshape(-1)   # (C*k,)
+    out_s, sel = jax.lax.top_k(flat_s, max_per_img)
+    out_mask = out_s > NEG_INF / 2
+    out_boxes = bx.reshape(-1, 4)[sel]
+    out_labels = (sel // k).astype(jnp.int32)
+    out_coeffs = None
+    if coeffs is not None:
+        cf = coeffs[idx.reshape(-1)].reshape(C, k, -1)
+        out_coeffs = cf.reshape(C * k, -1)[sel]
+    det = DetResult(out_boxes, jnp.where(out_mask, out_s, NEG_INF),
+                    jnp.where(out_mask, out_labels, -1), out_mask)
+    return det, out_coeffs
+
+
 def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
              max_out: int, sigma: float = 0.5, min_score: float = 1e-3,
              valid: jnp.ndarray = None, method: str = "gaussian") -> NMSResult:

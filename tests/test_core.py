@@ -514,3 +514,55 @@ class TestReferenceTransformApi:
 
         sums, diffs = multi_apply(f, [1, 2], [10, 20], k=2)
         assert sums == [21, 42] and diffs == [-9, -18]
+
+
+class TestMergeAugs:
+    """`mmdet/core/post_processing/merge_augs.py` named API."""
+
+    def _metas(self):
+        return [{"img_shape": (100, 200), "scale_factor": 1.0,
+                 "flip": False},
+                {"img_shape": (100, 200), "scale_factor": 1.0,
+                 "flip": True, "flip_direction": "horizontal"}]
+
+    def test_merge_aug_bboxes_mean_undoes_flip(self):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.core import (
+            merge_aug_bboxes, bbox_flip)
+        b = jnp.array([[10., 20., 30., 40.]])
+        flipped = bbox_flip(b, (100, 200), "horizontal")
+        boxes, scores = merge_aug_bboxes(
+            [b, flipped], [jnp.array([[.8]]), jnp.array([[.6]])],
+            self._metas())
+        np.testing.assert_allclose(np.asarray(boxes), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(scores), [[.7]], atol=1e-6)
+
+    def test_merge_aug_scores_numpy(self):
+        from panoswintransformerobjectdetection_tpu.core import merge_aug_scores
+        out = merge_aug_scores([np.array([1., 3.]), np.array([3., 5.])])
+        np.testing.assert_allclose(out, [2., 4.])
+
+    def test_merge_aug_proposals_nms(self):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.core import (
+            merge_aug_proposals, bbox_flip)
+        p1 = jnp.array([[10., 20., 30., 40., .9]])
+        fb = bbox_flip(p1[:, :4], (100, 200), "horizontal")
+        p2 = jnp.concatenate([fb, jnp.array([[.8]])], axis=1)
+        merged, mask = merge_aug_proposals(
+            [p1, p2], self._metas(),
+            dict(nms=dict(iou_threshold=0.5), max_per_img=10))
+        kept = np.asarray(mask)
+        assert kept.sum() == 1          # duplicates collapse after un-flip
+        np.testing.assert_allclose(np.asarray(merged)[0, :4],
+                                   [10., 20., 30., 40.], atol=1e-4)
+
+    def test_merge_aug_masks_unflips(self):
+        from panoswintransformerobjectdetection_tpu.core import merge_aug_masks
+        m = np.zeros((1, 1, 2, 4), np.float32)
+        m[..., 0] = 1.0                        # left column hot
+        mf = m[..., ::-1]                      # horizontally flipped aug
+        out = merge_aug_masks([m, mf], self._metas())
+        np.testing.assert_allclose(out, m)     # un-flip makes them agree
+        w = merge_aug_masks([m, mf], self._metas(), weights=[3.0, 1.0])
+        np.testing.assert_allclose(w, m)

@@ -51,3 +51,50 @@ def test_yolact_train_and_test(rng):
     assert dets.boxes.shape == (B, 100, 4)
     assert masks.shape[:2] == (B, 100) and masks.shape[2:] == (16, 16)
     assert ((np.asarray(masks) >= 0) & (np.asarray(masks) <= 1)).all()
+
+
+class TestFastNMS:
+    """`bbox_nms.py:96 fast_nms` semantics (YOLACT)."""
+
+    def test_chain_suppression_differs_from_greedy(self):
+        # A(.9) overlaps B(.8) overlaps C(.7); A-C disjoint.  Greedy keeps
+        # A and C; Fast NMS lets the suppressed B still kill C -> only A.
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.ops.nms import fast_nms
+        boxes = jnp.array([[0., 0., 10., 10.],
+                           [6., 0., 16., 10.],
+                           [12., 0., 22., 10.]])
+        scores = jnp.array([[.9], [.8], [.7]])
+        det, _ = fast_nms(boxes, scores, iou_threshold=0.2, max_per_img=3,
+                          score_thr=0.01)
+        kept = np.asarray(det.mask)
+        assert kept.sum() == 1
+        np.testing.assert_allclose(np.asarray(det.boxes)[0],
+                                   [0., 0., 10., 10.])
+
+    def test_classes_independent_and_coeffs_ride(self):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.ops.nms import fast_nms
+        boxes = jnp.array([[0., 0., 10., 10.], [1., 0., 11., 10.]])
+        # same boxes, different classes: no cross-class suppression
+        scores = jnp.array([[.9, .0], [.0, .8]])
+        coeffs = jnp.array([[1., 2.], [3., 4.]])
+        det, cf = fast_nms(boxes, scores, iou_threshold=0.5, max_per_img=4,
+                           score_thr=0.01, coeffs=coeffs)
+        kept = np.asarray(det.mask)
+        assert kept.sum() == 2
+        labs = sorted(np.asarray(det.labels)[kept].tolist())
+        assert labs == [0, 1]
+        # coefficients follow their detection
+        order = np.argsort(np.asarray(det.labels)[kept])
+        got = np.asarray(cf)[kept][order]
+        np.testing.assert_allclose(got, [[1., 2.], [3., 4.]])
+
+    def test_score_thr_masks(self):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.ops.nms import fast_nms
+        boxes = jnp.array([[0., 0., 10., 10.], [20., 0., 30., 10.]])
+        scores = jnp.array([[.9], [.01]])
+        det, _ = fast_nms(boxes, scores, iou_threshold=0.5, max_per_img=2,
+                          score_thr=0.05)
+        assert int(np.asarray(det.mask).sum()) == 1
