@@ -11,7 +11,9 @@ from .bbox import (
     bbox2result, distance2bbox, bbox2distance, bbox_rescale,
     bbox_cxcywh_to_xyxy, bbox_xyxy_to_cxcywh, multi_apply,
 )
-from .anchors import AnchorGenerator
+from .anchors import (AnchorGenerator, PointGenerator, YOLOAnchorGenerator,
+                      ANCHOR_GENERATORS, build_anchor_generator,
+                      images_to_levels, anchor_inside_flags, calc_region)
 from .assigner import max_iou_assign
 from .sampler import random_sample
 from .merge_augs import (merge_aug_proposals, merge_aug_bboxes,
@@ -26,4 +28,7 @@ __all__ = [
     "bbox_cxcywh_to_xyxy", "bbox_xyxy_to_cxcywh", "multi_apply",
     "merge_aug_proposals", "merge_aug_bboxes", "merge_aug_scores",
     "merge_aug_masks",
+    "PointGenerator", "YOLOAnchorGenerator", "ANCHOR_GENERATORS",
+    "build_anchor_generator", "images_to_levels", "anchor_inside_flags",
+    "calc_region",
 ]

@@ -566,3 +566,54 @@ class TestMergeAugs:
         np.testing.assert_allclose(out, m)     # un-flip makes them agree
         w = merge_aug_masks([m, mf], self._metas(), weights=[3.0, 1.0])
         np.testing.assert_allclose(w, m)
+
+
+class TestAnchorApi:
+    """`mmdet/core/anchor` named API (PointGenerator, YOLO anchors, utils)."""
+
+    def test_point_generator(self):
+        from panoswintransformerobjectdetection_tpu.core import PointGenerator
+        pg = PointGenerator()
+        pts = pg.grid_points((2, 3), stride=8)
+        assert pts.shape == (6, 3)
+        np.testing.assert_allclose(pts[0], [0., 0., 8.])
+        np.testing.assert_allclose(pts[4], [8., 8., 8.])   # row-major, x fast
+        flags = pg.valid_flags((2, 3), (1, 2))
+        assert flags.tolist() == [True, True, False, False, False, False]
+
+    def test_yolo_anchor_generator(self):
+        from panoswintransformerobjectdetection_tpu.core import (
+            build_anchor_generator)
+        gen = build_anchor_generator(dict(
+            type="YOLOAnchorGenerator", strides=[32, 16],
+            base_sizes=[[(116, 90), (156, 198)], [(30, 61), (62, 45)]]))
+        assert gen.num_levels == 2 and gen.num_base_anchors == [2, 2]
+        a = gen.grid_anchors([(2, 2), (4, 4)])
+        assert a[0].shape == (8, 4) and a[1].shape == (32, 4)
+        # first anchor: centered at stride/2 = 16 with size (116, 90)
+        np.testing.assert_allclose(a[0][0], [16 - 58, 16 - 45, 16 + 58, 16 + 45])
+        # responsibility: gt center (40, 40) -> cell (1,1) at stride 32
+        flags = gen.responsible_flags([(2, 2), (4, 4)],
+                                      np.array([[30., 30., 50., 50.]]))
+        lvl0 = flags[0].reshape(2, 2, 2)
+        assert lvl0[1, 1].all() and lvl0.sum() == 2
+        lvl1 = flags[1].reshape(4, 4, 2)   # stride 16 -> cell (2, 2)
+        assert lvl1[2, 2].all() and lvl1.sum() == 2
+
+    def test_anchor_inside_flags_and_images_to_levels(self):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.core import (
+            anchor_inside_flags, images_to_levels, calc_region)
+        anchors = jnp.array([[-1., 0., 5., 5.], [0., 0., 5., 5.],
+                             [0., 0., 21., 5.]])
+        vf = jnp.array([True, True, True])
+        inside = anchor_inside_flags(anchors, vf, (10, 20), 0)
+        assert np.asarray(inside).tolist() == [False, True, False]
+        inside2 = anchor_inside_flags(anchors, vf, (10, 20), 2)
+        assert np.asarray(inside2).tolist() == [True, True, True]
+        lv = images_to_levels([np.arange(6), np.arange(6) + 10], [4, 2])
+        assert np.asarray(lv[0]).shape == (2, 4)
+        np.testing.assert_allclose(np.asarray(lv[1][1]), [14, 15])
+        x1, y1, x2, y2 = calc_region(jnp.array([0., 0., 10., 10.]), 0.2,
+                                     featmap_size=(8, 8))
+        assert (int(x1), int(y1), int(x2), int(y2)) == (2, 2, 8, 8)
