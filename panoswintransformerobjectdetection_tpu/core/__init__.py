@@ -18,6 +18,8 @@ from .assigner import max_iou_assign
 from .sampler import random_sample
 from .merge_augs import (merge_aug_proposals, merge_aug_bboxes,
                          merge_aug_scores, merge_aug_masks)
+from .mask_structures import (BaseInstanceMasks, BitmapMasks, PolygonMasks,
+                              encode_mask_results, split_combined_polys)
 from . import losses
 
 __all__ = [
@@ -31,4 +33,6 @@ __all__ = [
     "PointGenerator", "YOLOAnchorGenerator", "ANCHOR_GENERATORS",
     "build_anchor_generator", "images_to_levels", "anchor_inside_flags",
     "calc_region",
+    "BaseInstanceMasks", "BitmapMasks", "PolygonMasks",
+    "encode_mask_results", "split_combined_polys",
 ]
