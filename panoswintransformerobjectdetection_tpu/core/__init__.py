@@ -20,6 +20,12 @@ from .merge_augs import (merge_aug_proposals, merge_aug_bboxes,
                          merge_aug_scores, merge_aug_masks)
 from .mask_structures import (BaseInstanceMasks, BitmapMasks, PolygonMasks,
                               encode_mask_results, split_combined_polys)
+from .class_names import (voc_classes, coco_classes, cityscapes_classes,
+                          imagenet_det_classes, imagenet_vid_classes,
+                          wider_face_classes, dataset_aliases, get_classes)
+from .evaluation import (average_precision, eval_map, eval_recalls,
+                         print_map_summary, print_recall_summary,
+                         plot_num_recall, plot_iou_recall)
 from . import losses
 
 __all__ = [
@@ -35,4 +41,9 @@ __all__ = [
     "calc_region",
     "BaseInstanceMasks", "BitmapMasks", "PolygonMasks",
     "encode_mask_results", "split_combined_polys",
+    "voc_classes", "coco_classes", "cityscapes_classes",
+    "imagenet_det_classes", "imagenet_vid_classes", "wider_face_classes",
+    "dataset_aliases", "get_classes",
+    "average_precision", "eval_map", "eval_recalls", "print_map_summary",
+    "print_recall_summary", "plot_num_recall", "plot_iou_recall",
 ]

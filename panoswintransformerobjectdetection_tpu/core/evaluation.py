@@ -130,9 +130,18 @@ def eval_map_coco(detections: List[dict], gts: List[dict], num_classes: int,
 
     valid = ~np.isnan(aps)
     mAP = float(np.nanmean(aps)) if valid.any() else 0.0
-    mAP50 = float(np.nanmean(aps[0])) if valid[0].any() else 0.0
-    i75 = int(round((0.75 - 0.5) / 0.05))
-    mAP75 = float(np.nanmean(aps[i75])) if valid[i75].any() else 0.0
+
+    def _at(thr):
+        """AP at one IoU threshold, 0.0 if that threshold wasn't computed
+        (custom iou_thrs lists may omit 0.5/0.75)."""
+        hits = np.where(np.isclose(np.asarray(iou_thrs), thr))[0]
+        if len(hits) == 0:
+            return 0.0
+        t = int(hits[0])
+        return float(np.nanmean(aps[t])) if valid[t].any() else 0.0
+
+    mAP50 = _at(0.5)
+    mAP75 = _at(0.75)
     out = {"bbox_mAP": mAP, "bbox_mAP_50": mAP50, "bbox_mAP_75": mAP75}
     if classwise:  # per-category AP table (mmdet classwise=True)
         for c in range(num_classes):
@@ -174,3 +183,104 @@ def eval_recalls(proposals: List[dict], gts: List[dict],
                 covered += int((iou.max(axis=0) >= thr).sum())
             out[f"AR@{k}@{thr:.2f}"] = covered / max(total, 1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Reference-named helpers (`mmdet/core/evaluation/__init__.py` surface)
+# ---------------------------------------------------------------------------
+
+def average_precision(recalls, precisions, mode="area"):
+    """`mean_ap.py average_precision`: AP from recall/precision curves.
+    recalls/precisions: (num_scales, N) or (N,); mode 'area' (envelope
+    integral) or '11points'."""
+    recalls = np.asarray(recalls, np.float32)
+    precisions = np.asarray(precisions, np.float32)
+    squeeze = recalls.ndim == 1
+    if squeeze:
+        recalls, precisions = recalls[None], precisions[None]
+    S, N = recalls.shape
+    ap = np.zeros(S, np.float32)
+    if mode == "area":
+        zeros = np.zeros((S, 1), np.float32)
+        ones = np.ones((S, 1), np.float32)
+        mrec = np.hstack((zeros, recalls, ones))
+        mpre = np.hstack((zeros, precisions, zeros))
+        for i in range(mpre.shape[1] - 1, 0, -1):
+            mpre[:, i - 1] = np.maximum(mpre[:, i - 1], mpre[:, i])
+        for s in range(S):
+            ind = np.where(mrec[s, 1:] != mrec[s, :-1])[0]
+            ap[s] = np.sum(
+                (mrec[s, ind + 1] - mrec[s, ind]) * mpre[s, ind + 1])
+    elif mode == "11points":
+        for s in range(S):
+            for thr in np.arange(0, 1 + 1e-3, 0.1):
+                precs = precisions[s, recalls[s, :] >= thr]
+                ap[s] += (precs.max() if precs.size > 0 else 0.0)
+        ap /= 11
+    else:
+        raise ValueError('mode must be "area" or "11points"')
+    return float(ap[0]) if squeeze else ap
+
+
+def eval_map(detections, gts, num_classes=None, iou_thr=0.5, **kw):
+    """`mean_ap.py eval_map` name (VOC protocol): returns (mAP, None)."""
+    if num_classes is None:
+        num_classes = int(max(int(np.max(g["labels"])) if len(g["labels"])
+                              else 0 for g in gts)) + 1
+    r = eval_map_voc(detections, gts, num_classes, iou_thr=iou_thr)
+    return r["mAP"], None
+
+
+def print_map_summary(mean_ap, results, logger=None):
+    """`mean_ap.py print_map_summary` role: tabulate per-class AP."""
+    lines = ["| class | gts | dets | ap |", "|---|---|---|---|"]
+    for r in results:
+        lines.append(f"| {r.get('class', '?')} | {r.get('num_gts', '-')} | "
+                     f"{r.get('num_dets', '-')} | {r.get('ap', 0.0):.3f} |")
+    lines.append(f"| mAP | | | {mean_ap:.3f} |")
+    text = "\n".join(lines)
+    (logger.info if logger else print)(text)
+    return text
+
+
+def print_recall_summary(recalls, proposal_nums, iou_thrs, logger=None):
+    """`recall.py print_recall_summary`: recalls (num_k, num_thr) table."""
+    recalls = np.asarray(recalls)
+    lines = ["| k \\ iou | " + " | ".join(f"{t:.2f}" for t in iou_thrs) + " |"]
+    lines.append("|" + "---|" * (len(iou_thrs) + 1))
+    for i, k in enumerate(proposal_nums):
+        row = " | ".join(f"{recalls[i, j]:.4f}" for j in range(len(iou_thrs)))
+        lines.append(f"| {k} | {row} |")
+    text = "\n".join(lines)
+    (logger.info if logger else print)(text)
+    return text
+
+
+def plot_num_recall(recalls, proposal_nums, out_file=None):
+    """`recall.py plot_num_recall` (Agg-safe; writes out_file if given)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    f = plt.figure()
+    plt.plot([0] + list(proposal_nums), [0] + list(np.asarray(recalls).ravel()))
+    plt.xlabel("Proposal num")
+    plt.ylabel("Recall")
+    plt.axis([0, max(proposal_nums), 0, 1])
+    if out_file:
+        f.savefig(out_file)
+    plt.close(f)
+
+
+def plot_iou_recall(recalls, iou_thrs, out_file=None):
+    """`recall.py plot_iou_recall`."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    f = plt.figure()
+    plt.plot(list(iou_thrs) + [1.0], list(np.asarray(recalls).ravel()) + [0.])
+    plt.xlabel("IoU")
+    plt.ylabel("Recall")
+    plt.axis([iou_thrs[0], 1, 0, 1])
+    if out_file:
+        f.savefig(out_file)
+    plt.close(f)

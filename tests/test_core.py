@@ -617,3 +617,49 @@ class TestAnchorApi:
         x1, y1, x2, y2 = calc_region(jnp.array([0., 0., 10., 10.]), 0.2,
                                      featmap_size=(8, 8))
         assert (int(x1), int(y1), int(x2), int(y2)) == (2, 2, 8, 8)
+
+
+class TestEvaluationApi:
+    """`mmdet/core/evaluation` named helpers."""
+
+    def test_average_precision_area_and_11points(self):
+        from panoswintransformerobjectdetection_tpu.core import average_precision
+        rec = np.array([0.25, 0.5, 0.75, 1.0])
+        pre = np.array([1.0, 1.0, 1.0, 1.0])
+        assert abs(average_precision(rec, pre, "area") - 1.0) < 1e-6
+        assert abs(average_precision(rec, pre, "11points") - 1.0) < 1e-6
+        # recall never reaches 1; thr=0.9 from np.arange drifts to
+        # 0.9000000000000001 (same arithmetic as the reference mean_ap.py),
+        # so 9 of 11 thresholds are covered
+        rec_p = np.array([0.25, 0.5, 0.75, 0.9])
+        assert abs(average_precision(rec_p, pre, "11points") - (9 / 11)) < 1e-6
+        pre2 = np.array([1.0, 0.5, 0.5, 0.25])
+        ap = average_precision(rec, pre2, "area")
+        assert 0.25 < ap < 1.0
+
+    def test_eval_map_named(self):
+        from panoswintransformerobjectdetection_tpu.core import eval_map
+        gts = [{"bboxes": np.array([[0., 0., 10., 10.]], np.float32),
+                "labels": np.array([0])}]
+        det = [{"boxes": np.array([[0., 0., 10., 10.]], np.float32),
+                "scores": np.array([0.9], np.float32),
+                "labels": np.array([0])}]
+        m, _ = eval_map(det, gts, num_classes=1)
+        assert m > 0.99
+
+    def test_print_and_plot_helpers(self, tmp_path):
+        from panoswintransformerobjectdetection_tpu.core import (
+            print_map_summary, print_recall_summary, plot_num_recall,
+            plot_iou_recall)
+        t = print_map_summary(0.5, [dict(ap=0.5, num_gts=3, num_dets=7,
+                                         **{"class": "car"})])
+        assert "car" in t and "0.500" in t
+        t2 = print_recall_summary(np.array([[0.4, 0.3], [0.6, 0.5]]),
+                                  [100, 300], [0.5, 0.7])
+        assert "0.6000" in t2
+        p1 = str(tmp_path / "nr.png")
+        plot_num_recall([0.4, 0.6], [100, 300], out_file=p1)
+        p2 = str(tmp_path / "ir.png")
+        plot_iou_recall([0.4, 0.3], [0.5, 0.7], out_file=p2)
+        import os
+        assert os.path.exists(p1) and os.path.exists(p2)
