@@ -26,6 +26,9 @@ from .class_names import (voc_classes, coco_classes, cityscapes_classes,
 from .evaluation import (average_precision, eval_map, eval_recalls,
                          print_map_summary, print_recall_summary,
                          plot_num_recall, plot_iou_recall)
+from .coder import (BaseBBoxCoder, DeltaXYWHBBoxCoder, PseudoBBoxCoder,
+                    TBLRBBoxCoder, DistancePointBBoxCoder, BBOX_CODERS,
+                    build_bbox_coder)
 from . import losses
 
 __all__ = [
@@ -46,4 +49,7 @@ __all__ = [
     "dataset_aliases", "get_classes",
     "average_precision", "eval_map", "eval_recalls", "print_map_summary",
     "print_recall_summary", "plot_num_recall", "plot_iou_recall",
+    "BaseBBoxCoder", "DeltaXYWHBBoxCoder", "PseudoBBoxCoder",
+    "TBLRBBoxCoder", "DistancePointBBoxCoder", "BBOX_CODERS",
+    "build_bbox_coder",
 ]

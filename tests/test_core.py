@@ -663,3 +663,46 @@ class TestEvaluationApi:
         plot_iou_recall([0.4, 0.3], [0.5, 0.7], out_file=p2)
         import os
         assert os.path.exists(p1) and os.path.exists(p2)
+
+
+class TestBBoxCoders:
+    """`mmdet/core/bbox/coder/` classes via build_bbox_coder."""
+
+    def test_delta_coder_round_trip(self):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.core import build_bbox_coder
+        coder = build_bbox_coder(dict(type="DeltaXYWHBBoxCoder",
+                                      target_stds=(.1, .1, .2, .2)))
+        priors = jnp.array([[0., 0., 10., 10.], [5., 5., 20., 25.]])
+        gts = jnp.array([[1., 2., 11., 13.], [4., 6., 22., 24.]])
+        d = coder.encode(priors, gts)
+        back = coder.decode(priors, d)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(gts),
+                                   atol=1e-4)
+        clipped = coder.decode(priors, d, max_shape=(12, 12))
+        assert float(clipped.max()) <= 12.0
+
+    def test_tblr_coder_round_trip(self):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.core import build_bbox_coder
+        coder = build_bbox_coder(dict(type="TBLRBBoxCoder", normalizer=4.0))
+        priors = jnp.array([[0., 0., 10., 20.]])
+        gts = jnp.array([[2., 3., 9., 18.]])
+        enc = coder.encode(priors, gts)
+        # top = cy - ymin = 10 - 3 = 7; / h=20 / 4 = 0.0875
+        np.testing.assert_allclose(float(enc[0, 0]), 7 / 20 / 4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(coder.decode(priors, enc)),
+                                   np.asarray(gts), atol=1e-4)
+
+    def test_pseudo_and_distance_point(self):
+        import jax.numpy as jnp
+        from panoswintransformerobjectdetection_tpu.core import build_bbox_coder
+        p = build_bbox_coder(dict(type="PseudoBBoxCoder"))
+        x = jnp.ones((2, 4))
+        assert p.decode(None, x) is x and p.encode(None, x) is x
+        dp = build_bbox_coder(dict(type="DistancePointBBoxCoder"))
+        pts = jnp.array([[5., 5.]])
+        box = jnp.array([[2., 1., 9., 8.]])
+        d = dp.encode(pts, box)
+        np.testing.assert_allclose(np.asarray(dp.decode(pts, d)),
+                                   np.asarray(box), atol=1e-5)
