@@ -73,12 +73,38 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+# Module-level override for the Pallas fused stem (tests / A-B harnesses);
+# None = auto (env PANOSWIN_FUSED_STEM, else on-TPU default ON).
+USE_FUSED_STEM: Optional[bool] = None
+
+
+def _fused_stem_enabled() -> bool:
+    # Default: ON on TPU devices, OFF elsewhere.  On-chip A/B
+    # (tools/bench_stem_fused.py, v5e, 2026-08-18): fused Pallas stem
+    # 8.59 ms vs 9.75 ms for the XLA 3-conv chain at (4, 512, 1024, 3)
+    # bf16, max|diff| 0.0625 bf16.  CPU keeps the XLA convs (interpret
+    # mode stays a test-only entry).
+    if USE_FUSED_STEM is not None:
+        return USE_FUSED_STEM
+    import os
+    env = os.environ.get("PANOSWIN_FUSED_STEM")
+    if env is not None:
+        return env == "1"
+    dev = jax.devices()[0]
+    return dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "")
+
+
 class ConvStemPatchEmbed(nn.Module):
     """PanoSwin 3-conv patch stem: 3x3+BN+ReLU x2 then patch-stride conv
     (`PatchEmbed`, simple_panoswin_transformer.py:727-773).
 
     Input (B, H, W, Cin) NHWC; output (B, H/ps, W/ps, embed_dim).
     Spatial dims are zero-padded up to a multiple of patch_size first.
+
+    Inference path (train=False) on TPU routes the two 3x3 convs through
+    the fused Pallas kernel (`ops/stem_conv.py`) with BN running stats
+    folded into the conv weights at trace time; parameters and the
+    checkpoint tree are identical either way.
     """
     patch_size: int = 4
     embed_dim: int = 96
@@ -99,22 +125,57 @@ class ConvStemPatchEmbed(nn.Module):
         if H % ps:
             x = jnp.pad(x, ((0, 0), (0, ps - H % ps), (0, 0), (0, 0)))
         d3 = self.embed_dim // 3
-        x = nn.Conv(d3, (3, 3), padding=1, dtype=dt, name="conv0")(x)
-        if not self.fuse_bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name="bn0")(x)
-        x = nn.relu(x)
-        x = nn.Conv(d3 * 2, (3, 3), padding=1, dtype=dt, name="conv1")(x)
-        if not self.fuse_bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name="bn1")(x)
-        x = nn.relu(x)
-        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), dtype=dt, name="proj")(x)
+        conv0 = nn.Conv(d3, (3, 3), padding=1, dtype=dt, name="conv0")
+        conv1 = nn.Conv(d3 * 2, (3, 3), padding=1, dtype=dt, name="conv1")
+        proj = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), dtype=dt,
+                       name="proj")
+        fused = (not train and not self.is_initializing()
+                 and ps == 4 and x.shape[-1] == 3
+                 and x.shape[1] % 16 == 0 and x.shape[2] % 128 == 0
+                 and _fused_stem_enabled())
+        if fused:
+            x = self._fused_stem(x, conv0, conv1, proj)
+        else:
+            x = conv0(x)
+            if not self.fuse_bn:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, name="bn0")(x)
+            x = nn.relu(x)
+            x = conv1(x)
+            if not self.fuse_bn:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, name="bn1")(x)
+            x = nn.relu(x)
+            x = proj(x)
         if self.use_norm:
             x = layer_norm("norm")(x)
         if dt is not None:
             x = x.astype(dt)
         return x
+
+    def _fused_stem(self, x, conv0, conv1, proj):
+        """Route conv0+BN+ReLU, conv1+BN+ReLU, proj through the Pallas
+        fused kernel.  Reads the already-created parameters directly (the
+        conv/BN submodules are never applied on this path) and folds BN
+        running stats into weight+bias at trace time."""
+        from ..ops.stem_conv import stem_conv_fused
+        p = self.variables["params"]
+
+        def folded(name, bn_name):
+            k = p[name]["kernel"]
+            b = p[name].get("bias", jnp.zeros((k.shape[-1],), k.dtype))
+            if self.fuse_bn or bn_name not in p:
+                return k, b
+            bnp = p[bn_name]
+            bns = self.variables["batch_stats"][bn_name]
+            scale = bnp["scale"] / jnp.sqrt(bns["var"] + 1e-5)
+            return k * scale, (b - bns["mean"]) * scale + bnp["bias"]
+
+        w0, b0 = folded("conv0", "bn0")
+        w1, b1 = folded("conv1", "bn1")
+        wp = p["proj"]["kernel"]
+        bp = p["proj"].get("bias", jnp.zeros((wp.shape[-1],), wp.dtype))
+        return stem_conv_fused(x, w0, b0, w1, b1, wp, bp)
 
 
 class SingleConvPatchEmbed(nn.Module):

@@ -49,6 +49,38 @@ def test_stem_fused_matches_xla(dtype):
                                np.asarray(ref, np.float32), atol=tol)
 
 
+@pytest.mark.parametrize("fuse_bn", [False, True])
+def test_patch_embed_fused_path_matches_xla(fuse_bn):
+    """ConvStemPatchEmbed eval with the fused Pallas path forced ON
+    (interpret mode) matches the stock XLA chain, BN folded or live."""
+    from panoswintransformerobjectdetection_tpu.models import layers
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 16, 128, 3)), jnp.float32)
+    mod = layers.ConvStemPatchEmbed(patch_size=4, embed_dim=24,
+                                    fuse_bn=fuse_bn)
+    variables = mod.init(jax.random.PRNGKey(0), x, train=False)
+    if not fuse_bn:
+        # exercise non-trivial running stats in the fold
+        bs = jax.tree.map(lambda a: a, variables["batch_stats"])
+        bs = {k: {"mean": jnp.asarray(rng.standard_normal(v["mean"].shape),
+                                      jnp.float32),
+                  "var": jnp.asarray(rng.uniform(0.5, 2.0, v["var"].shape),
+                                     jnp.float32)}
+              for k, v in bs.items()}
+        variables = {"params": variables["params"], "batch_stats": bs}
+
+    old = layers.USE_FUSED_STEM
+    try:
+        layers.USE_FUSED_STEM = False
+        ref = mod.apply(variables, x, train=False)
+        layers.USE_FUSED_STEM = True
+        got = mod.apply(variables, x, train=False)
+    finally:
+        layers.USE_FUSED_STEM = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
 def test_fold_bn_matches_batchnorm():
     rng = np.random.default_rng(1)
     k = rng.standard_normal((3, 3, 3, 8)).astype(np.float32)
