@@ -75,7 +75,19 @@ class DropPath(nn.Module):
 
 # Module-level override for the Pallas fused stem (tests / A-B harnesses);
 # None = auto (env PANOSWIN_FUSED_STEM, else on-TPU default ON).
+# TRACE-TIME CAPTURE: the flag is read while tracing, so under jax.jit the
+# choice is baked into the compiled program — flipping it afterwards does
+# nothing until the jit cache is cleared (or a fresh jitted callable is
+# built per setting, which is what the A/B harnesses do).
 USE_FUSED_STEM: Optional[bool] = None
+
+# Single source of truth for the stem BatchNorm epsilon: used by the
+# nn.BatchNorm modules on the XLA path AND by every BN fold
+# (_fused_stem below, ops/stem_conv.fold_bn's default).
+from ..ops.stem_conv import BN_EPS  # noqa: E402
+
+_TRUTHY = {"1", "true", "on", "yes"}
+_FALSY = {"0", "false", "off", "no"}
 
 
 def _fused_stem_enabled() -> bool:
@@ -89,7 +101,14 @@ def _fused_stem_enabled() -> bool:
     import os
     env = os.environ.get("PANOSWIN_FUSED_STEM")
     if env is not None:
-        return env == "1"
+        v = env.strip().lower()
+        if v in _TRUTHY:
+            return True
+        if v in _FALSY:
+            return False
+        raise ValueError(
+            f"PANOSWIN_FUSED_STEM={env!r}: expected one of "
+            f"{sorted(_TRUTHY | _FALSY)}")
     dev = jax.devices()[0]
     return dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "")
 
@@ -134,17 +153,17 @@ class ConvStemPatchEmbed(nn.Module):
                  and x.shape[1] % 16 == 0 and x.shape[2] % 128 == 0
                  and _fused_stem_enabled())
         if fused:
-            x = self._fused_stem(x, conv0, conv1, proj)
+            x = self._fused_stem(x)
         else:
             x = conv0(x)
             if not self.fuse_bn:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, name="bn0")(x)
+                                 epsilon=BN_EPS, name="bn0")(x)
             x = nn.relu(x)
             x = conv1(x)
             if not self.fuse_bn:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, name="bn1")(x)
+                                 epsilon=BN_EPS, name="bn1")(x)
             x = nn.relu(x)
             x = proj(x)
         if self.use_norm:
@@ -153,11 +172,11 @@ class ConvStemPatchEmbed(nn.Module):
             x = x.astype(dt)
         return x
 
-    def _fused_stem(self, x, conv0, conv1, proj):
+    def _fused_stem(self, x):
         """Route conv0+BN+ReLU, conv1+BN+ReLU, proj through the Pallas
-        fused kernel.  Reads the already-created parameters directly (the
-        conv/BN submodules are never applied on this path) and folds BN
-        running stats into weight+bias at trace time."""
+        fused kernel.  Reads the already-created parameters by name from
+        self.variables (the conv/BN submodules are never applied on this
+        path) and folds BN running stats into weight+bias at trace time."""
         from ..ops.stem_conv import stem_conv_fused
         p = self.variables["params"]
 
@@ -168,7 +187,7 @@ class ConvStemPatchEmbed(nn.Module):
                 return k, b
             bnp = p[bn_name]
             bns = self.variables["batch_stats"][bn_name]
-            scale = bnp["scale"] / jnp.sqrt(bns["var"] + 1e-5)
+            scale = bnp["scale"] / jnp.sqrt(bns["var"] + BN_EPS)
             return k * scale, (b - bns["mean"]) * scale + bnp["bias"]
 
         w0, b0 = folded("conv0", "bn0")

@@ -47,6 +47,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Stem BatchNorm epsilon — the single source shared by the nn.BatchNorm
+# construction in models/layers.py and every BN fold (fold_bn default,
+# ConvStemPatchEmbed._fused_stem).
+BN_EPS = 1e-5
+
 TR = 16          # h1 rows emitted per program
 # column zero-pad: 2-px halo left; right pad rounds the row width up to
 # a multiple of 128 (flat lane offsets/extents must be 128-aligned)
@@ -167,6 +172,20 @@ def _stem2(x, w0, b0, w1, b1, *, interpret):
     return out.reshape(B, c1, H, Wp)
 
 
+@functools.lru_cache(maxsize=1)
+def _warn_interpret_once():
+    # Force-enabling the fused stem (env/global flag) on a non-TPU backend
+    # drops into Pallas interpret mode — orders of magnitude slower than
+    # the XLA convs.  Tests that want interpret mode pass interpret=True
+    # explicitly and do not hit this.
+    import warnings
+    warnings.warn(
+        "stem_conv_fused called on a non-TPU backend; running the Pallas "
+        "kernel in interpret mode, which is far slower than the XLA conv "
+        "chain. Unset PANOSWIN_FUSED_STEM / models.layers.USE_FUSED_STEM "
+        "unless this is a numerics test.", RuntimeWarning, stacklevel=3)
+
+
 def stem_conv_fused(x, w0, b0, w1, b1, wp, bp, *, interpret=None):
     """Fused stem forward (inference path, BN pre-folded).
 
@@ -177,6 +196,8 @@ def stem_conv_fused(x, w0, b0, w1, b1, wp, bp, *, interpret=None):
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+        if interpret:
+            _warn_interpret_once()
     h1 = _stem2(x, w0, b0, w1, b1, interpret=interpret)
     h1 = h1[:, :, :, PAD_L:PAD_L + x.shape[2]]
     dn = jax.lax.conv_dimension_numbers(
@@ -187,7 +208,7 @@ def stem_conv_fused(x, w0, b0, w1, b1, wp, bp, *, interpret=None):
     return (out + bp).astype(x.dtype)
 
 
-def fold_bn(kernel, gamma, beta, mean, var, eps=1e-5):
+def fold_bn(kernel, gamma, beta, mean, var, eps=BN_EPS):
     """Fold BatchNorm running stats into a conv kernel + bias.
 
     kernel: (kh, kw, cin, cout); returns (kernel', bias') with
