@@ -154,10 +154,11 @@ def eval_map_coco(detections: List[dict], gts: List[dict], num_classes: int,
 
 def eval_map_voc(detections: List[dict], gts: List[dict], num_classes: int,
                  iou_thr: float = 0.5) -> Dict[str, float]:
-    """VOC-style mAP at a single IoU threshold (`mean_ap.py` area mode)."""
-    r = eval_map_coco(detections, gts, num_classes, iou_thrs=[iou_thr],
-                      max_dets=10000)
-    return {"mAP": r["bbox_mAP_50"] if iou_thr == 0.5 else r["bbox_mAP"]}
+    """VOC-style mAP at a single IoU threshold — exact `mean_ap.py` area
+    mode via `eval_map` (reference-protocol tpfp + PR-envelope integral)."""
+    m, _ = eval_map(detections, gts, iou_thr=iou_thr,
+                    num_classes=num_classes)
+    return {"mAP": float(m)}
 
 
 def eval_recalls(proposals: List[dict], gts: List[dict],
@@ -222,13 +223,197 @@ def average_precision(recalls, precisions, mode="area"):
     return float(ap[0]) if squeeze else ap
 
 
-def eval_map(detections, gts, num_classes=None, iou_thr=0.5, **kw):
-    """`mean_ap.py eval_map` name (VOC protocol): returns (mAP, None)."""
-    if num_classes is None:
-        num_classes = int(max(int(np.max(g["labels"])) if len(g["labels"])
-                              else 0 for g in gts)) + 1
-    r = eval_map_voc(detections, gts, num_classes, iou_thr=iou_thr)
-    return r["mAP"], None
+def tpfp_default(det_bboxes, gt_bboxes, gt_bboxes_ignore=None, iou_thr=0.5,
+                 area_ranges=None):
+    """TP/FP flags for one image+class (`mean_ap.py tpfp_default:153`).
+
+    det_bboxes: (m, 5) with score in the last column; gt_bboxes: (n, 4);
+    gt_bboxes_ignore: (k, 4).  Matching follows the reference exactly:
+    dets scanned score-descending; a det whose max-IoU gt clears `iou_thr`
+    is TP if that gt is unclaimed and not ignored (by flag or area range),
+    FP if the gt was already claimed, and neither if the gt is ignored.
+    Returns (tp, fp) float arrays of shape (num_scales, m).
+    """
+    det_bboxes = np.asarray(det_bboxes, np.float32).reshape(-1, 5)
+    gt_bboxes = np.asarray(gt_bboxes, np.float32).reshape(-1, 4)
+    if gt_bboxes_ignore is None:
+        gt_bboxes_ignore = np.empty((0, 4), np.float32)
+    gt_bboxes_ignore = np.asarray(gt_bboxes_ignore, np.float32).reshape(-1, 4)
+
+    gt_ignore_inds = np.concatenate(
+        (np.zeros(gt_bboxes.shape[0], bool),
+         np.ones(gt_bboxes_ignore.shape[0], bool)))
+    gt_bboxes = np.vstack((gt_bboxes, gt_bboxes_ignore))
+
+    num_dets = det_bboxes.shape[0]
+    num_gts = gt_bboxes.shape[0]
+    if area_ranges is None:
+        area_ranges = [(None, None)]
+    num_scales = len(area_ranges)
+    tp = np.zeros((num_scales, num_dets), np.float32)
+    fp = np.zeros((num_scales, num_dets), np.float32)
+
+    if num_gts == 0:
+        if area_ranges == [(None, None)]:
+            fp[...] = 1
+        else:
+            det_areas = (det_bboxes[:, 2] - det_bboxes[:, 0]) * (
+                det_bboxes[:, 3] - det_bboxes[:, 1])
+            for i, (min_area, max_area) in enumerate(area_ranges):
+                fp[i, (det_areas >= min_area) & (det_areas < max_area)] = 1
+        return tp, fp
+
+    ious = _iou_matrix(det_bboxes[:, :4], gt_bboxes)
+    ious_max = ious.max(axis=1)
+    ious_argmax = ious.argmax(axis=1)
+    sort_inds = np.argsort(-det_bboxes[:, -1])
+    for k, (min_area, max_area) in enumerate(area_ranges):
+        gt_covered = np.zeros(num_gts, bool)
+        if min_area is None:
+            gt_area_ignore = np.zeros_like(gt_ignore_inds, bool)
+        else:
+            gt_areas = (gt_bboxes[:, 2] - gt_bboxes[:, 0]) * (
+                gt_bboxes[:, 3] - gt_bboxes[:, 1])
+            gt_area_ignore = (gt_areas < min_area) | (gt_areas >= max_area)
+        for i in sort_inds:
+            if ious_max[i] >= iou_thr:
+                matched_gt = ious_argmax[i]
+                if not (gt_ignore_inds[matched_gt]
+                        or gt_area_ignore[matched_gt]):
+                    if not gt_covered[matched_gt]:
+                        gt_covered[matched_gt] = True
+                        tp[k, i] = 1
+                    else:
+                        fp[k, i] = 1
+            elif min_area is None:
+                fp[k, i] = 1
+            else:
+                bbox = det_bboxes[i, :4]
+                area = (bbox[2] - bbox[0]) * (bbox[3] - bbox[1])
+                if min_area <= area < max_area:
+                    fp[k, i] = 1
+    return tp, fp
+
+
+def _to_ref_format(detections, gts, num_classes):
+    """Convert this repo's dict-based detections/gts to the reference's
+    (det_results, annotations) layout."""
+    det_results, annotations = [], []
+    for det, gt in zip(detections, gts):
+        boxes = np.asarray(det["boxes"], np.float32).reshape(-1, 4)
+        scores = np.asarray(det["scores"], np.float32).reshape(-1)
+        labels = np.asarray(det["labels"]).reshape(-1)
+        mask = det.get("mask")
+        if mask is not None:
+            m = np.asarray(mask, bool)
+            boxes, scores, labels = boxes[m], scores[m], labels[m]
+        per_cls = []
+        for c in range(num_classes):
+            sel = labels == c
+            per_cls.append(
+                np.hstack([boxes[sel], scores[sel, None]]).astype(np.float32))
+        det_results.append(per_cls)
+        annotations.append({
+            "bboxes": np.asarray(gt["bboxes"], np.float32).reshape(-1, 4),
+            "labels": np.asarray(gt["labels"], np.int64).reshape(-1),
+            "bboxes_ignore": np.asarray(
+                gt.get("bboxes_ignore", np.empty((0, 4))),
+                np.float32).reshape(-1, 4),
+            "labels_ignore": (np.asarray(gt["labels_ignore"], np.int64)
+                              if gt.get("labels_ignore") is not None
+                              else None),
+        })
+    return det_results, annotations
+
+
+def eval_map(det_results, annotations, scale_ranges=None, iou_thr=0.5,
+             dataset=None, logger=None, tpfp_fn=None, num_classes=None,
+             **kw):
+    """VOC-protocol dataset mAP (`mean_ap.py eval_map:267`), exact numerics.
+
+    det_results: per image, a per-class list of (n, 5) [x1 y1 x2 y2 score]
+    arrays (the reference layout) — or this repo's list of
+    dict(boxes, scores, labels), auto-converted.  annotations: per image
+    dict(bboxes, labels[, bboxes_ignore, labels_ignore]).  scale_ranges:
+    [(min, max), ...] in pixels (areas compared against range**2).
+    dataset='voc07' switches AP to 11-point mode.  Returns
+    (mean_ap, [per-class dict(num_gts, num_dets, recall, precision, ap)]).
+    """
+    assert len(det_results) == len(annotations)
+    if det_results and isinstance(det_results[0], dict):
+        if num_classes is None:
+            num_classes = int(max(
+                int(np.max(g["labels"])) if len(g["labels"]) else 0
+                for g in annotations)) + 1
+        det_results, annotations = _to_ref_format(
+            det_results, annotations, num_classes)
+
+    num_scales = len(scale_ranges) if scale_ranges is not None else 1
+    num_classes = len(det_results[0])
+    area_ranges = ([(rg[0] ** 2, rg[1] ** 2) for rg in scale_ranges]
+                   if scale_ranges is not None else None)
+    if tpfp_fn is None:
+        tpfp_fn = tpfp_default
+
+    eval_results = []
+    for c in range(num_classes):
+        cls_dets = [img_res[c] for img_res in det_results]
+        cls_gts, cls_gts_ignore = [], []
+        for ann in annotations:
+            gt_inds = ann["labels"] == c
+            cls_gts.append(ann["bboxes"][gt_inds, :])
+            if ann.get("labels_ignore") is not None:
+                ignore_inds = ann["labels_ignore"] == c
+                cls_gts_ignore.append(ann["bboxes_ignore"][ignore_inds, :])
+            else:
+                cls_gts_ignore.append(np.empty((0, 4), np.float32))
+
+        tpfp = [tpfp_fn(d, g, gi, iou_thr, area_ranges)
+                for d, g, gi in zip(cls_dets, cls_gts, cls_gts_ignore)]
+        tp, fp = tuple(zip(*tpfp))
+
+        num_gts = np.zeros(num_scales, int)
+        for bbox in cls_gts:
+            if area_ranges is None:
+                num_gts[0] += bbox.shape[0]
+            else:
+                gt_areas = (bbox[:, 2] - bbox[:, 0]) * (
+                    bbox[:, 3] - bbox[:, 1])
+                for k, (min_area, max_area) in enumerate(area_ranges):
+                    num_gts[k] += np.sum((gt_areas >= min_area)
+                                         & (gt_areas < max_area))
+        cls_dets = np.vstack([np.asarray(d, np.float32).reshape(-1, 5)
+                              for d in cls_dets])
+        num_dets = cls_dets.shape[0]
+        sort_inds = np.argsort(-cls_dets[:, -1])
+        tp = np.cumsum(np.hstack(tp)[:, sort_inds], axis=1)
+        fp = np.cumsum(np.hstack(fp)[:, sort_inds], axis=1)
+        eps = np.finfo(np.float32).eps
+        recalls = tp / np.maximum(num_gts[:, None], eps)
+        precisions = tp / np.maximum(tp + fp, eps)
+        if scale_ranges is None:
+            recalls = recalls[0, :]
+            precisions = precisions[0, :]
+            num_gts = num_gts.item()
+        mode = "area" if dataset != "voc07" else "11points"
+        ap = average_precision(recalls, precisions, mode)
+        eval_results.append({"num_gts": num_gts, "num_dets": num_dets,
+                             "recall": recalls, "precision": precisions,
+                             "ap": ap})
+
+    if scale_ranges is not None:
+        all_ap = np.vstack([r["ap"] for r in eval_results])
+        all_num_gts = np.vstack([r["num_gts"] for r in eval_results])
+        mean_ap = []
+        for i in range(num_scales):
+            if np.any(all_num_gts[:, i] > 0):
+                mean_ap.append(all_ap[all_num_gts[:, i] > 0, i].mean())
+            else:
+                mean_ap.append(0.0)
+    else:
+        aps = [r["ap"] for r in eval_results if r["num_gts"] > 0]
+        mean_ap = float(np.mean(aps)) if aps else 0.0
+    return mean_ap, eval_results
 
 
 def print_map_summary(mean_ap, results, logger=None):

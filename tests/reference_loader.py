@@ -153,6 +153,259 @@ def load_reference_swin():
         return None
 
 
+def _exec_patched(relpath, modname, replacements=(), inject=None):
+    """Exec a reference source file with import lines patched out and
+    symbols pre-injected, registered in sys.modules so multiprocessing can
+    pickle its functions by reference."""
+    import types as _t
+    src = open(REFERENCE_ROOT + "/" + relpath).read()
+    for old, new in replacements:
+        assert old in src, (relpath, old)
+        src = src.replace(old, new)
+    mod = _t.ModuleType(modname)
+    mod.__dict__.update(inject or {})
+    sys.modules[modname] = mod
+    exec(compile(src, modname, "exec"), mod.__dict__)
+    return mod
+
+
+class _AttrDict(dict):
+    """Minimal mmcv.ConfigDict: attribute access + `in` + deepcopy."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    def __deepcopy__(self, memo):
+        import copy
+        return _AttrDict({k: copy.deepcopy(v, memo) for k, v in self.items()})
+
+
+def _torch_nms(boxes, scores, iou_threshold):
+    """Exact greedy hard-NMS, transcribed from mmcv.ops.nms semantics
+    (score-descending scan, suppress IoU > threshold; widths are x2-x1).
+    Scalar python — test-only."""
+    import torch
+    order = scores.argsort(descending=True)
+    keep = []
+    suppressed = torch.zeros(len(order), dtype=torch.bool)
+    area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    for oi in range(len(order)):
+        i = order[oi].item()
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for oj in range(oi + 1, len(order)):
+            j = order[oj].item()
+            if suppressed[j]:
+                continue
+            lt = torch.maximum(boxes[i, :2], boxes[j, :2])
+            rb = torch.minimum(boxes[i, 2:], boxes[j, 2:])
+            wh = (rb - lt).clamp(min=0)
+            inter = wh[0] * wh[1]
+            iou = inter / (area[i] + area[j] - inter).clamp(min=1e-12)
+            if iou.item() > iou_threshold:
+                suppressed[j] = True
+    return torch.as_tensor(keep, dtype=torch.long)
+
+
+def _torch_batched_nms(boxes, scores, idxs, nms_cfg, class_agnostic=False):
+    """mmcv.ops.batched_nms semantics: offset boxes per class/level id so
+    groups never overlap, run plain NMS, return (dets (k, 5) score-sorted,
+    keep indices)."""
+    import torch
+    nms_cfg = dict(nms_cfg or {})
+    nms_cfg.pop("type", None)
+    iou_thr = nms_cfg.get("iou_threshold", nms_cfg.get("iou_thr", 0.5))
+    if boxes.numel() == 0:
+        return torch.zeros((0, 5), dtype=boxes.dtype), \
+            torch.zeros((0,), dtype=torch.long)
+    if class_agnostic:
+        boxes_for_nms = boxes
+    else:
+        max_coordinate = boxes.max()
+        offsets = idxs.to(boxes) * (max_coordinate + torch.tensor(1).to(boxes))
+        boxes_for_nms = boxes + offsets[:, None]
+    keep = _torch_nms(boxes_for_nms, scores, iou_thr)
+    dets = torch.cat([boxes[keep], scores[keep, None]], dim=-1)
+    return dets, keep
+
+
+def load_reference_detcore():
+    """Load the reference's pure-torch detection core (anchors, IoU, delta
+    coder, MaxIoU assigner, RPN _get_bboxes, multiclass NMS, VOC mean_ap,
+    bbox transforms) for golden parity tests.  mmcv is stubbed (its only
+    uses in these files are `@mmcv.jit`, `is_tuple_of`, `is_str`,
+    `print_log`, `ConfigDict`); `mmcv.ops` NMS kernels are an external CUDA
+    library, transcribed above as scalar torch.  Returns a namespace or
+    None."""
+    try:
+        import types as _t
+        if load_reference() is None:
+            return None
+
+        noop_registry = (
+            "class _Reg:\n"
+            "    def register_module(self, *a, **k):\n"
+            "        return lambda c: c\n")
+
+        mmcv_stub = _t.ModuleType("mmcv_stub")
+        mmcv_stub.jit = lambda **kw: (lambda f: f)
+        mmcv_stub.is_tuple_of = lambda seq, t: isinstance(seq, tuple) and all(
+            isinstance(s, t) for s in seq)
+        mmcv_stub.is_str = lambda s: isinstance(s, str)
+        mmcv_stub.ConfigDict = _AttrDict
+        mmcv_stub.utils = _t.SimpleNamespace(
+            print_log=lambda *a, **k: None)
+
+        iou2d = _exec_patched(
+            "mmdet/core/bbox/iou_calculators/iou2d_calculator.py",
+            "ref_iou2d",
+            [("from .builder import IOU_CALCULATORS",
+              noop_registry + "IOU_CALCULATORS = _Reg()")])
+
+        coder = _exec_patched(
+            "mmdet/core/bbox/coder/delta_xywh_bbox_coder.py",
+            "ref_delta_coder",
+            [("import mmcv\n", ""),
+             ("from ..builder import BBOX_CODERS",
+              noop_registry + "BBOX_CODERS = _Reg()"),
+             ("from .base_bbox_coder import BaseBBoxCoder",
+              "BaseBBoxCoder = object")],
+            inject={"mmcv": mmcv_stub})
+
+        anchors = _exec_patched(
+            "mmdet/core/anchor/anchor_generator.py",
+            "ref_anchor_gen",
+            [("import mmcv\n", ""),
+             ("from .builder import ANCHOR_GENERATORS",
+              noop_registry + "ANCHOR_GENERATORS = _Reg()")],
+            inject={"mmcv": mmcv_stub})
+
+        assign_result = _exec_patched(
+            "mmdet/core/bbox/assigners/assign_result.py",
+            "ref_assign_result",
+            [("from mmdet.utils import util_mixins",
+              "class util_mixins:\n"
+              "    class NiceRepr:\n"
+              "        pass")])
+
+        assigner = _exec_patched(
+            "mmdet/core/bbox/assigners/max_iou_assigner.py",
+            "ref_max_iou_assigner",
+            [("from ..builder import BBOX_ASSIGNERS",
+              noop_registry + "BBOX_ASSIGNERS = _Reg()"),
+             ("from ..iou_calculators import build_iou_calculator",
+              "def build_iou_calculator(cfg):\n"
+              "    return BboxOverlaps2D()"),
+             ("from .assign_result import AssignResult", ""),
+             ("from .base_assigner import BaseAssigner",
+              "BaseAssigner = object")],
+            inject={"AssignResult": assign_result.AssignResult,
+                    "BboxOverlaps2D": iou2d.BboxOverlaps2D})
+
+        bbox_overlaps_np = _exec_patched(
+            "mmdet/core/evaluation/bbox_overlaps.py", "ref_bbox_overlaps_np")
+
+        class _AsciiTable:
+            def __init__(self, rows, *a, **k):
+                self.table = "\n".join(str(r) for r in rows)
+                self.inner_footing_row_border = False
+
+        mean_ap = _exec_patched(
+            "mmdet/core/evaluation/mean_ap.py",
+            "ref_mean_ap",
+            [("import mmcv\n", ""),
+             # np.bool was removed in numpy>=1.24 — mechanical py-compat
+             ("dtype=np.bool)", "dtype=bool)"),
+             ("from mmcv.utils import print_log",
+              "def print_log(*a, **k):\n"
+              "    pass"),
+             ("from terminaltables import AsciiTable", ""),
+             ("from .bbox_overlaps import bbox_overlaps", ""),
+             ("from .class_names import get_classes",
+              "def get_classes(name):\n"
+              "    return [f'c{i}' for i in range(1000)]")],
+            inject={"mmcv": mmcv_stub, "AsciiTable": _AsciiTable,
+                    "bbox_overlaps": bbox_overlaps_np.bbox_overlaps})
+
+        transforms = _exec_patched(
+            "mmdet/core/bbox/transforms.py", "ref_bbox_transforms")
+
+        bbox_nms = _exec_patched(
+            "mmdet/core/post_processing/bbox_nms.py",
+            "ref_bbox_nms",
+            [("from mmcv.ops.nms import batched_nms", ""),
+             ("from mmdet.core.bbox.iou_calculators import bbox_overlaps",
+              "")],
+            inject={"batched_nms": _torch_batched_nms,
+                    "bbox_overlaps": iou2d.bbox_overlaps})
+
+        # PanoRPNHead._get_bboxes, bound to a namespace carrying the attrs
+        # it reads (use_sigmoid_cls, bbox_coder, test_cfg).  The class's
+        # AnchorHead base pulls in the full training machinery — not needed
+        # for the proposal path under test.
+        rpn_mod = _exec_patched(
+            "mmdet/models/dense_heads/panorpn_head.py",
+            "ref_panorpn",
+            [("from mmcv import ConfigDict", ""),
+             ("from mmcv.cnn import normal_init", "normal_init = None"),
+             ("from mmcv.ops import batched_nms", ""),
+             ("from ..builder import HEADS",
+              noop_registry + "HEADS = _Reg()"),
+             ("from .anchor_head import AnchorHead",
+              "class AnchorHead:\n"
+              "    def __init__(self, *a, **k):\n"
+              "        pass"),
+             ("from .rpn_test_mixin import RPNTestMixin",
+              "class RPNTestMixin:\n"
+              "    pass")],
+            inject={"batched_nms": _torch_batched_nms,
+                    "ConfigDict": _AttrDict})
+
+        def rpn_get_bboxes(cls_scores, bbox_preds, mlvl_anchors, img_shapes,
+                           cfg, use_sigmoid_cls=True):
+            self = _t.SimpleNamespace(
+                use_sigmoid_cls=use_sigmoid_cls,
+                bbox_coder=coder.DeltaXYWHBBoxCoder(
+                    target_means=(0., 0., 0., 0.),
+                    target_stds=(1., 1., 1., 1.)),
+                test_cfg=None)
+            return rpn_mod.PanoRPNHead._get_bboxes(
+                self, cls_scores, bbox_preds, mlvl_anchors, img_shapes,
+                None, _AttrDict(cfg))
+
+        return _t.SimpleNamespace(
+            AnchorGenerator=anchors.AnchorGenerator,
+            bbox_overlaps_t=iou2d.bbox_overlaps,
+            BboxOverlaps2D=iou2d.BboxOverlaps2D,
+            DeltaXYWHBBoxCoder=coder.DeltaXYWHBBoxCoder,
+            bbox2delta=coder.bbox2delta,
+            delta2bbox=coder.delta2bbox,
+            MaxIoUAssigner=assigner.MaxIoUAssigner,
+            bbox_overlaps_np=bbox_overlaps_np.bbox_overlaps,
+            eval_map=mean_ap.eval_map,
+            average_precision=mean_ap.average_precision,
+            tpfp_default=mean_ap.tpfp_default,
+            bbox2roi=transforms.bbox2roi,
+            bbox2result=transforms.bbox2result,
+            multiclass_nms=bbox_nms.multiclass_nms,
+            batched_nms=_torch_batched_nms,
+            nms=_torch_nms,
+            rpn_get_bboxes=rpn_get_bboxes,
+            ConfigDict=_AttrDict,
+        )
+    except Exception:
+        import traceback
+        traceback.print_exc()
+        return None
+
+
 def load_reference():
     """Returns the dict of reference modules, or None if unavailable."""
     try:
