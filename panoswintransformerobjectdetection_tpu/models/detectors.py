@@ -98,6 +98,11 @@ class TwoStageDetector(nn.Module):
     # (GRoIE, configs/groie); "dpool"/"mdpool" use (modulated) deformable
     # RoI pooling (configs/dcn); None keeps the level-routed extractor
     roi_extractor: Optional[str] = None
+    # RoIAlign samples per bin side: 2 = fixed grid (Detectron2 choice,
+    # the TPU default — static work per roi); 0 = mmcv's adaptive
+    # ceil(bin) grid, exact vs the reference CUDA kernel (used by the
+    # golden e2e parity tests; see ops/roi_align.py)
+    roi_sampling_ratio: int = 2
 
     def _roi_extract(self, feats, flat_rois, out_size: Optional[int] = None):
         if out_size is None:
@@ -106,7 +111,8 @@ class TwoStageDetector(nn.Module):
             from ..ops.roi_align import generic_roi_align
             return generic_roi_align(feats[:4], flat_rois,
                                      strides=self.featmap_strides,
-                                     out_size=out_size)
+                                     out_size=out_size,
+                                     sampling_ratio=self.roi_sampling_ratio)
         if self.roi_extractor in ("dpool", "mdpool") and \
                 out_size == self.bbox_roi_size:
             # deformable pooling applies to the bbox extractor only
@@ -116,7 +122,8 @@ class TwoStageDetector(nn.Module):
         nlvl = min(len(self.featmap_strides), len(feats))
         return multilevel_roi_align(feats[:nlvl], flat_rois,
                                     strides=self.featmap_strides,
-                                    out_size=out_size)
+                                    out_size=out_size,
+                                    sampling_ratio=self.roi_sampling_ratio)
 
     def _default_bbox_head(self):
         """Subclass hook: the head config used when `bbox_head` is unset."""

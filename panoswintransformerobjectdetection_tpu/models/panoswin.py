@@ -47,21 +47,50 @@ from .registry import BACKBONES
 PI = math.pi
 
 
-def sphere_bias(alpha_table, beta_table, rel_index, uv1, uv2, pano_mode):
+def sphere_bias(alpha_table, beta_table, rel_index, uv1, uv2, pano_mode,
+                hav=None):
     """Great-circle attention bias (`BasicWindowAttention._sphere_bias:241`).
 
     pano:   haversine(uv1, uv2) * alpha[rel] + beta[rel]
     planar: beta[rel]
     alpha/beta_table: (T, heads); rel_index: (O, O) static; uv*: (n, O, 2).
+    hav: optional precomputed haversine (n, O, O) — it depends only on the
+    uv grid, which is identical for every block of a stage with the same
+    shift, so `BasicLayer` computes it once per shift variant instead of
+    once per block (`prepare_window_uv`).
     Returns (n, heads, O, O) (or (1, heads, O, O) in planar mode).
     """
     beta = table_lookup(beta_table, rel_index)        # (O, O, heads)
     if pano_mode:
-        hav = haversine(uv1, uv2)                     # (n, O, O)
+        if hav is None:
+            hav = haversine(uv1, uv2)                 # (n, O, O)
         alpha = table_lookup(alpha_table, rel_index)  # (O, O, heads)
         bias = hav[..., None] * alpha[None] + beta[None]
         return bias.transpose(0, 3, 1, 2)
     return beta.transpose(2, 0, 1)[None]
+
+
+def prepare_window_uv(uv, shift_size, ws, pano_mode):
+    """Window the uv side-band for one shift variant and precompute the
+    haversine couplings: returns (uv_wins (nW, O, 2), hav (nW, O, O)|None).
+
+    Exactly the uv handling of `PanoSwinBlock.__call__`; hoisted to
+    `BasicLayer` so a depth-d stage does this work twice (shift 0 and
+    ws//2) instead of d times.
+    """
+    if pano_mode:
+        uvt = window_transition(uv, shift_size, True)
+    else:
+        uvt = uv
+    SH, SW = uvt.shape[0], uvt.shape[1]
+    ph, pw = (-SH) % ws, (-SW) % ws
+    if ph or pw:
+        uvt = jnp.pad(uvt, ((0, ph), (0, pw), (0, 0)))
+    if (not pano_mode) and shift_size > 0:
+        uvt = window_transition(uvt, shift_size, False)
+    uv_wins = window_partition(uvt[None], ws).reshape(-1, ws * ws, 2)
+    hav = haversine(uv_wins, uv_wins) if pano_mode else None
+    return uv_wins, hav
 
 
 def _attention_core(q, k, v, bias, mask, scale):
@@ -104,9 +133,11 @@ class WindowAttention(nn.Module):
         self.beta_table = self.param("beta_table", trunc_init, (t, self.num_heads))
         self.rel_index = make_relative_position_index(self.window_size)
 
-    def __call__(self, x_windows, uv_windows, mask=None, pano_mode=True):
+    def __call__(self, x_windows, uv_windows, mask=None, pano_mode=True,
+                 hav=None):
         """x_windows: (B*nW, O, c); uv_windows: (nW, O, 2) — UNBATCHED (the
-        uv grid depends only on the static pano geometry); mask: (nW, O, O)."""
+        uv grid depends only on the static pano geometry); mask: (nW, O, O);
+        hav: optional precomputed haversine(uv, uv) (nW, O, O)."""
         n, O, c = x_windows.shape
         h = self.num_heads
         hd = c // h
@@ -114,7 +145,7 @@ class WindowAttention(nn.Module):
         qkv = self.qkv(x_windows).reshape(n, O, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         bias = sphere_bias(self.alpha_table, self.beta_table, self.rel_index,
-                           uv_windows, uv_windows, pano_mode)
+                           uv_windows, uv_windows, pano_mode, hav=hav)
         if not pano_mode:
             bias = jnp.broadcast_to(bias, (uv_windows.shape[0],) + bias.shape[1:])
 
@@ -155,10 +186,14 @@ class PanoSwinBlock(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, x, uv, pano_mode=True, deterministic=True):
+    def __call__(self, x, uv, pano_mode=True, deterministic=True,
+                 uv_ctx=None):
         """x: (B, H, W, c); uv: (H, W, 2) UNBATCHED f32 side-band (zeros in
         planar mode) — the sphere bias it induces is shared across the
         batch, so it is computed once per window, not per image.
+        uv_ctx: optional (uv_wins, hav) from `prepare_window_uv` — when the
+        caller (`BasicLayer`) hoists the per-shift uv windowing + haversine
+        out of the per-block path.
         """
         B, H, W, c = x.shape
         ws = self.window_size
@@ -174,28 +209,26 @@ class PanoSwinBlock(nn.Module):
         # branch of `PanoSwinTransformerBlock.forward:507`)
         if pano_mode:
             xn = window_transition(xn, self.shift_size, True)
-            uvt = window_transition(uv, self.shift_size, True)
-        else:
-            uvt = uv
         SH, SW = xn.shape[1], xn.shape[2]
         ph, pw = (-SH) % ws, (-SW) % ws
         if ph or pw:
             xn = jnp.pad(xn, ((0, 0), (0, ph), (0, pw), (0, 0)))
-            uvt = jnp.pad(uvt, ((0, ph), (0, pw), (0, 0)))
         if (not pano_mode) and self.shift_size > 0:
             xn = window_transition(xn, self.shift_size, False)
-            uvt = window_transition(uvt, self.shift_size, False)
             mask = jnp.asarray(swin_attention_mask(SH + ph, SW + pw, ws, self.shift_size))
         else:
             mask = None
         Hp, Wp = xn.shape[1], xn.shape[2]
 
+        if uv_ctx is None:
+            uv_ctx = prepare_window_uv(uv, self.shift_size, ws, pano_mode)
+        uv_wins, hav = uv_ctx
+
         wins = window_partition(xn, ws).reshape(-1, ws * ws, c)
-        uv_wins = window_partition(uvt[None], ws).reshape(-1, ws * ws, 2)
         attn = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
                                self.qk_scale, dtype=self.dtype,
                                fused=self.fused, name="attn")(
-            wins, uv_wins, mask=mask, pano_mode=pano_mode)
+            wins, uv_wins, mask=mask, pano_mode=pano_mode, hav=hav)
         y = window_reverse(attn.reshape(-1, ws, ws, c), ws, Hp, Wp)
 
         if (not pano_mode) and self.shift_size > 0:
@@ -355,15 +388,23 @@ class BasicLayer(nn.Module):
         # (`BasicLayer.forward:705`).
         block_cls = (nn.remat(PanoSwinBlock, static_argnums=(3, 4))
                      if self.use_checkpoint else PanoSwinBlock)
+        # the uv windowing + haversine couplings depend only on (shift,
+        # resolution) — two variants per stage, not one per block
+        uv_ctxs = {}
         for i in range(depth_swin):
+            shift = 0 if i % 2 == 0 else self.window_size // 2
+            if shift not in uv_ctxs:
+                uv_ctxs[shift] = prepare_window_uv(
+                    uv, shift, self.window_size, pano_mode)
             x = block_cls(
                 dim=self.dim, num_heads=self.num_heads, window_size=self.window_size,
-                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                shift_size=shift,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale,
                 drop_path=self.drop_path[i] if self.drop_path else 0.0,
                 dtype=self.dtype, fused=self.fused,
-                name=f"blocks_{i}")(x, uv, pano_mode, deterministic)
+                name=f"blocks_{i}")(x, uv, pano_mode, deterministic,
+                                    uv_ctxs[shift])
         if self.depth % 2:
             x = PitchAttention(
                 dim=self.dim, num_heads=self.num_heads, window_size=self.window_size,

@@ -481,15 +481,19 @@ def bbox_head_detections(cls_logits, bbox_pred, rois, img_shapes, num_classes,
                          target_means=(0., 0., 0., 0.),
                          target_stds=(0.1, 0.1, 0.2, 0.2),
                          roi_mask=None, scale_factors=None,
-                         nms_type="nms") -> DetResult:
+                         nms_type="nms", score_factors=None) -> DetResult:
     """Decode per-class boxes and run multiclass NMS per image
     (`bbox_head.py get_bboxes` + `multiclass_nms`).
 
     cls_logits: (B, P, C+1); bbox_pred: (B, P, 4C); rois: (B, P, 5).
     scale_factors: (B, 4) to rescale boxes back to original image coords.
+    score_factors: (B, P) per-roi score multiplier applied after softmax
+    (`multiclass_nms` score_factors — SABL bucketing-guided rescoring).
     """
     B, P, _ = cls_logits.shape
     scores = jax.nn.softmax(cls_logits, axis=-1)
+    if score_factors is not None:
+        scores = scores * score_factors[..., None]
     boxes = delta_decode(rois[..., 1:5], bbox_pred, target_means, target_stds)
     h = img_shapes[:, 0][:, None, None]
     w = img_shapes[:, 1][:, None, None]

@@ -1,14 +1,18 @@
 """SABL RetinaNet (`mmdet/models/dense_heads/sabl_retina_head.py` +
 `core/bbox/coder/bucketing_bbox_coder.py`, ECCV'20 Side-Aware Boundary
 Localization): each box side is localized by (a) a classification over
-buckets spanning a scaled candidate region around the square anchor and
-(b) a fine offset within the chosen bucket.
+`side_num = ceil(num_buckets/2)` buckets measured inward from that side of
+the scale_factor-rescaled candidate region and (b) a fine offset within
+the chosen bucket.
 
-Coder: the candidate region is the anchor scaled by `scale_factor`; each
-axis is split into `num_buckets`; side targets are the bucket whose center
-is nearest the gt edge plus the normalized residual.  Decode takes the
-argmax bucket per side.  All static shapes; bucket cls is plain CE over
-buckets (the reference's top-2 soft labels are a training refinement).
+Coder semantics match `bbox2bucket`/`bucket2bbox`
+(`bucketing_bbox_coder.py:144,268`) exactly, fixed-shape: top-1 one-hot
+bucket labels; `offset_topk=2` fine-regression weights (the 2nd-nearest
+bucket also regresses when its normalized offset < offset_upperbound);
+`cls_ignore_neighbor` zeroes cls weights on near-but-not-label buckets;
+decode argmaxes per side and adds the bucketing-guided rescoring
+confidence (top-1 softmax prob, + top-2 when adjacent).  Golden-parity
+tested vs the reference torch coder in tests/test_sabl_parity.py.
 """
 
 from typing import Any, Dict, Optional, Tuple
@@ -26,57 +30,102 @@ from .layers import resolve_dtype
 from .registry import BACKBONES, NECKS, DETECTORS, HEADS, build
 
 
-def bucket_edges(anchors: jnp.ndarray, num_buckets: int,
+def side_num_of(num_buckets: int) -> int:
+    return int(np.ceil(num_buckets / 2.0))
+
+
+def bbox_rescale(bboxes: jnp.ndarray, scale_factor: float = 1.0):
+    """Rescale xyxy boxes about their centers (`transforms.py bbox_rescale`)."""
+    cx = (bboxes[:, 0] + bboxes[:, 2]) * 0.5
+    cy = (bboxes[:, 1] + bboxes[:, 3]) * 0.5
+    w = (bboxes[:, 2] - bboxes[:, 0]) * scale_factor
+    h = (bboxes[:, 3] - bboxes[:, 1]) * scale_factor
+    return jnp.stack([cx - 0.5 * w, cy - 0.5 * h,
+                      cx + 0.5 * w, cy + 0.5 * h], -1)
+
+
+def bucket_edges(proposals: jnp.ndarray, num_buckets: int,
                  scale_factor: float):
-    """Candidate-region bucket centers per axis.
-    anchors (N, 4) -> (x_centers (N, K), y_centers (N, K), bw (N,), bh (N,))
-    """
-    cx = (anchors[:, 0] + anchors[:, 2]) / 2
-    cy = (anchors[:, 1] + anchors[:, 3]) / 2
-    w = (anchors[:, 2] - anchors[:, 0]) * scale_factor
-    h = (anchors[:, 3] - anchors[:, 1]) * scale_factor
-    bw = w / num_buckets
-    bh = h / num_buckets
-    k = jnp.arange(num_buckets, dtype=jnp.float32) + 0.5
-    xc = (cx - w / 2)[:, None] + k[None, :] * bw[:, None]
-    yc = (cy - h / 2)[:, None] + k[None, :] * bh[:, None]
-    return xc, yc, bw, bh
+    """Side-aware bucket centers (`generat_buckets:95`): each side has
+    `side_num` buckets measured INWARD from that side of the rescaled
+    proposal.  Returns (centers (N, 4, side_num) in side order
+    (l, r, t, d), bucket_w (N,), bucket_h (N,))."""
+    p = bbox_rescale(proposals, scale_factor)
+    side = side_num_of(num_buckets)
+    bw = (p[:, 2] - p[:, 0]) / num_buckets
+    bh = (p[:, 3] - p[:, 1]) / num_buckets
+    k = jnp.arange(side, dtype=jnp.float32) + 0.5
+    l = p[:, 0, None] + k[None, :] * bw[:, None]
+    r = p[:, 2, None] - k[None, :] * bw[:, None]
+    t = p[:, 1, None] + k[None, :] * bh[:, None]
+    d = p[:, 3, None] - k[None, :] * bh[:, None]
+    return jnp.stack([l, r, t, d], axis=1), bw, bh
 
 
-def bucket_encode(anchors: jnp.ndarray, gts: jnp.ndarray, num_buckets: int,
-                  scale_factor: float):
-    """Per side: nearest-bucket label (N,) + normalized offset (N,)."""
-    xc, yc, bw, bh = bucket_edges(anchors, num_buckets, scale_factor)
-    out_lab, out_off = [], []
-    for side, (centers, scale) in enumerate(
-            [(xc, bw), (yc, bh), (xc, bw), (yc, bh)]):
-        edge = gts[:, side]
-        d = jnp.abs(centers - edge[:, None])
-        lab = d.argmin(-1)
-        cen = jnp.take_along_axis(centers, lab[:, None], 1)[:, 0]
-        out_lab.append(lab.astype(jnp.int32))
-        out_off.append((edge - cen) / jnp.maximum(scale, 1e-6))
-    return jnp.stack(out_lab, -1), jnp.stack(out_off, -1)   # (N,4) each
+def bucket_encode(proposals: jnp.ndarray, gts: jnp.ndarray, num_buckets: int,
+                  scale_factor: float, offset_topk: int = 2,
+                  offset_upperbound: float = 1.0,
+                  cls_ignore_neighbor: bool = True):
+    """`bbox2bucket:144` exactly.  Returns
+    (offsets (N, 4, side), offset_weights (N, 4, side),
+     labels (N, 4) int32 top-1 bucket per side, cls_weights (N, 4, side))
+    in side order (l, r, t, d) = gt edges (x1, x2, y1, y2)."""
+    centers, bw, bh = bucket_edges(proposals, num_buckets, scale_factor)
+    scale = jnp.stack([bw, bw, bh, bh], 1)[..., None]        # (N, 4, 1)
+    # eps guard for PADDED/degenerate rois (zero extent) — the reference
+    # only ever encodes real sampled positives; here fixed-shape batches
+    # carry padding rows whose weights are zero, but 0 * inf would still
+    # poison the loss with NaN
+    scale = jnp.where(jnp.abs(scale) < 1e-6, 1e-6, scale)
+    edges = jnp.stack([gts[:, 0], gts[:, 2], gts[:, 1], gts[:, 3]], 1)
+    offsets = (centers - edges[..., None]) / scale           # (N, 4, side)
+
+    absoff = jnp.abs(offsets)
+    side = offsets.shape[-1]
+    k = min(offset_topk, side)
+    # top-k NEAREST buckets per side (ascending |offset|)
+    topk_neg, topk_idx = jax.lax.top_k(-absoff, k)
+    topk = -topk_neg
+    onehot = jax.nn.one_hot(topk_idx, side)                  # (N, 4, k, side)
+    w_k = jnp.concatenate(
+        [jnp.ones_like(topk[..., :1]),
+         (topk[..., 1:] < offset_upperbound).astype(jnp.float32)], -1)
+    offset_weights = jnp.max(onehot * w_k[..., None], axis=2)
+
+    labels = topk_idx[..., 0].astype(jnp.int32)              # (N, 4)
+    lab_onehot = jax.nn.one_hot(labels, side)
+    near = (absoff < 1.0).astype(jnp.float32)
+    if cls_ignore_neighbor:
+        cls_weights = 1.0 - near * (1.0 - lab_onehot)
+    else:
+        cls_weights = jnp.ones_like(near)
+    return offsets, offset_weights, labels, cls_weights
 
 
-def bucket_decode(anchors: jnp.ndarray, side_logits: jnp.ndarray,
+def bucket_decode(proposals: jnp.ndarray, side_logits: jnp.ndarray,
                   side_offsets: jnp.ndarray, num_buckets: int,
-                  scale_factor: float) -> jnp.ndarray:
-    """side_logits/offsets (N, 4, K) -> xyxy boxes (N, 4)."""
-    xc, yc, bw, bh = bucket_edges(anchors, num_buckets, scale_factor)
-    edges = []
-    for side, (centers, scale) in enumerate(
-            [(xc, bw), (yc, bh), (xc, bw), (yc, bh)]):
-        lab = side_logits[:, side].argmax(-1)
-        cen = jnp.take_along_axis(centers, lab[:, None], 1)[:, 0]
-        off = jnp.take_along_axis(side_offsets[:, side], lab[:, None],
-                                  1)[:, 0]
-        edges.append(cen + off * scale)
-    x1 = jnp.minimum(edges[0], edges[2])
-    x2 = jnp.maximum(edges[0], edges[2])
-    y1 = jnp.minimum(edges[1], edges[3])
-    y2 = jnp.maximum(edges[1], edges[3])
-    return jnp.stack([x1, y1, x2, y2], -1)
+                  scale_factor: float, max_shape=None, clip_border=True):
+    """`bucket2bbox:268`: side_logits/offsets (N, 4, side) in (l, r, t, d)
+    order -> (xyxy boxes (N, 4), loc_confidence (N,) bucketing-guided
+    rescoring: top-1 softmax prob + top-2 when the buckets are adjacent)."""
+    centers, bw, bh = bucket_edges(proposals, num_buckets, scale_factor)
+    scale = jnp.stack([bw, bw, bh, bh], 1)                   # (N, 4)
+    scores = jax.nn.softmax(side_logits, -1)
+    top2, top2_idx = jax.lax.top_k(scores, 2)
+    lab = top2_idx[..., 0]
+    cen = jnp.take_along_axis(centers, lab[..., None], 2)[..., 0]   # (N, 4)
+    off = jnp.take_along_axis(side_offsets, lab[..., None], 2)[..., 0]
+    edge = cen - off * scale                                 # (N, 4) l,r,t,d
+    x1, x2, y1, y2 = edge[:, 0], edge[:, 1], edge[:, 2], edge[:, 3]
+    if clip_border and max_shape is not None:
+        x1 = jnp.clip(x1, 0, max_shape[1] - 1)
+        x2 = jnp.clip(x2, 0, max_shape[1] - 1)
+        y1 = jnp.clip(y1, 0, max_shape[0] - 1)
+        y2 = jnp.clip(y2, 0, max_shape[0] - 1)
+    boxes = jnp.stack([x1, y1, x2, y2], -1)
+    neighbor = (jnp.abs(top2_idx[..., 0] - top2_idx[..., 1]) == 1)
+    conf = top2[..., 0] + top2[..., 1] * neighbor.astype(jnp.float32)
+    return boxes, conf.mean(-1)
 
 
 @HEADS.register
@@ -96,13 +145,13 @@ class SABLRetinaHead(nn.Module):
         reg_convs = [nn.Conv(self.feat_channels, (3, 3), padding=1, dtype=dt,
                              name=f"reg_conv{i}")
                      for i in range(self.stacked_convs)]
-        K = self.num_buckets
+        side = side_num_of(self.num_buckets)
         cls_out = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=dt,
                           bias_init=nn.initializers.constant(-4.595),
                           name="sabl_cls")
-        side_cls_out = nn.Conv(4 * K, (3, 3), padding=1, dtype=dt,
+        side_cls_out = nn.Conv(4 * side, (3, 3), padding=1, dtype=dt,
                                name="side_cls")
-        side_off_out = nn.Conv(4 * K, (3, 3), padding=1, dtype=dt,
+        side_off_out = nn.Conv(4 * side, (3, 3), padding=1, dtype=dt,
                                name="side_offset")
         cls_l, scls_l, soff_l = [], [], []
         for f in feats:
@@ -158,13 +207,13 @@ class SABLRetinaNet(nn.Module):
 
     def _flat(self, cls_l, scls_l, soff_l):
         B = cls_l[0].shape[0]
-        K = self.num_buckets
+        side = side_num_of(self.num_buckets)
         cls = jnp.concatenate(
             [c.reshape(B, -1, self.num_classes) for c in cls_l], 1)
         scls = jnp.concatenate(
-            [c.reshape(B, -1, 4, K) for c in scls_l], 1)
+            [c.reshape(B, -1, 4, side) for c in scls_l], 1)
         soff = jnp.concatenate(
-            [c.reshape(B, -1, 4, K) for c in soff_l], 1)
+            [c.reshape(B, -1, 4, side) for c in soff_l], 1)
         return cls, scls, soff
 
     def forward_train(self, images, img_shapes, gt_boxes, gt_labels,
@@ -181,24 +230,27 @@ class SABLRetinaNet(nn.Module):
             pos = assigned > 0
             gidx = jnp.clip(assigned - 1, 0)
             labels = jnp.where(pos, glabels[gidx], self.num_classes)
-            blab, boff = bucket_encode(anchors, gts[gidx], K,
-                                       self.scale_factor)
-            return pos, labels, blab, boff
+            boff, bow, blab, bcw = bucket_encode(anchors, gts[gidx], K,
+                                                 self.scale_factor)
+            posf = pos.astype(jnp.float32)[:, None, None]
+            return pos, labels, blab, boff, bow * posf, bcw * posf
 
-        pos, labels, blab, boff = jax.vmap(single)(gt_boxes, gt_labels,
-                                                   gt_valid)
-        blab = jax.lax.stop_gradient(blab)
-        boff = jax.lax.stop_gradient(boff)
+        pos, labels, blab, boff, bow, bcw = jax.vmap(single)(
+            gt_boxes, gt_labels, gt_valid)
+        blab, boff = map(jax.lax.stop_gradient, (blab, boff))
+        bow, bcw = map(jax.lax.stop_gradient, (bow, bcw))
         n_pos = jnp.maximum(pos.sum(), 1.0)
+        side = side_num_of(K)
         loss_cls = losses.sigmoid_focal_loss(cls, labels, self.num_classes,
                                              avg_factor=n_pos)
-        w4 = pos[..., None].astype(jnp.float32).repeat(4, -1)
-        loss_side_cls = losses.cross_entropy(scls, blab, weight=w4,
-                                             avg_factor=4 * n_pos)
-        pred_off = jnp.take_along_axis(soff, blab[..., None], -1)[..., 0]
-        loss_side_off = losses.smooth_l1_loss(pred_off, boff, beta=1.0 / 9,
-                                              weight=w4,
-                                              avg_factor=4 * n_pos)
+        # `sabl_retina_head.py:456-465`: BCE over one-hot bucket labels
+        # weighted by cls_ignore_neighbor weights; smooth-L1(1/9) over ALL
+        # side buckets weighted by the offset_topk=2 weights, both x1.5
+        onehot = jax.nn.one_hot(blab, side)
+        loss_side_cls = 1.5 * losses.binary_cross_entropy(
+            scls, onehot, weight=bcw, avg_factor=n_pos * 4 * side)
+        loss_side_off = 1.5 * losses.smooth_l1_loss(
+            soff, boff, beta=1.0 / 9, weight=bow, avg_factor=n_pos * 4 * 2)
         return {"loss_cls": loss_cls, "loss_bbox_cls": loss_side_cls,
                 "loss_bbox_reg": loss_side_off}
 
@@ -210,8 +262,11 @@ class SABLRetinaNet(nn.Module):
         cls, scls, soff = self._flat(cls_l, scls_l, soff_l)
         B = cls.shape[0]
         prob = jax.nn.sigmoid(cls)
-        boxes = jax.vmap(lambda sc, so: bucket_decode(
+        boxes, confids = jax.vmap(lambda sc, so: bucket_decode(
             anchors, sc, so, self.num_buckets, self.scale_factor))(scls, soff)
+        # bucketing-guided rescoring (`sabl_retina_head.py:620`
+        # score_factors=mlvl_confids)
+        prob = prob * confids[..., None]
         h = img_shapes[:, 0][:, None, None]
         w = img_shapes[:, 1][:, None, None]
         x = jnp.clip(boxes[..., 0::2], 0, w)
@@ -276,18 +331,28 @@ class SABLHead(nn.Module):
                                          name=f"{name}_up")(f))  # (R, 2o, C')
             f = nn.relu(nn.Conv(self.reg_channels, (3,), padding=1,
                                 dtype=dt, name=f"{name}_post")(f))
-            # 2 sides per axis: bucket cls + offset per upsampled position
-            sc = nn.Conv(2, (1,), name=f"{name}_side_cls")(f)   # (R, K, 2)
-            so = nn.Conv(2, (1,), name=f"{name}_side_off")(f)
+            # one bucket-cls + one offset per upsampled position, then the
+            # side-aware split (`sabl_head.py:265`): near side = first
+            # side_num positions, far side = last side_num REVERSED (both
+            # sides' buckets count inward from their edge)
+            sc = nn.Conv(1, (1,), name=f"{name}_side_cls")(f)[..., 0]
+            so = nn.Conv(1, (1,), name=f"{name}_side_off")(f)[..., 0]
             outs[name] = (sc.astype(jnp.float32), so.astype(jnp.float32))
         K = 2 * o
         assert K == self.num_buckets, (K, self.num_buckets)
-        side_logits = jnp.stack(
-            [outs["x"][0][..., 0], outs["y"][0][..., 0],
-             outs["x"][0][..., 1], outs["y"][0][..., 1]], axis=1)  # (R,4,K)
-        side_offsets = jnp.stack(
-            [outs["x"][1][..., 0], outs["y"][1][..., 0],
-             outs["x"][1][..., 1], outs["y"][1][..., 1]], axis=1)
+        side = side_num_of(K)
+
+        def split(f):
+            near = f[:, :side]
+            far = jnp.flip(f[:, K - side:], axis=1)
+            return near, far
+
+        lx, rx = split(outs["x"][0])
+        ty, dy = split(outs["y"][0])
+        lox, rox = split(outs["x"][1])
+        toy, doy = split(outs["y"][1])
+        side_logits = jnp.stack([lx, rx, ty, dy], axis=1)      # (R, 4, side)
+        side_offsets = jnp.stack([lox, rox, toy, doy], axis=1)
         return cls, side_logits, side_offsets
 
 
@@ -361,18 +426,17 @@ class SABLFasterRCNN(nn.Module):
         gt_match = delta_decode(flat_rois[:, 1:5],
                                 samples.bbox_targets.reshape(-1, 4),
                                 stds=inner.rcnn_target_stds)
-        blab, boff = bucket_encode(flat_rois[:, 1:5], gt_match,
-                                   self.num_buckets, self.scale_factor)
-        bw = samples.bbox_weights.reshape(-1)
         K = self.num_buckets
-        onehot = jax.nn.one_hot(blab, K)                       # (N, 4, K)
-        navg = jnp.maximum(bw.sum(), 1.0)
+        side = side_num_of(K)
+        boff, bow, blab, bcw = bucket_encode(flat_rois[:, 1:5], gt_match,
+                                             K, self.scale_factor)
+        bw = samples.bbox_weights.reshape(-1)[:, None, None]
+        navg = jnp.maximum(samples.bbox_weights.sum(), 1.0)
+        onehot = jax.nn.one_hot(blab, side)
         losses_out["loss_bbox_cls"] = losses.binary_cross_entropy(
-            slog, onehot, weight=bw[:, None, None], avg_factor=navg * 4 * K)
-        off_pred = jnp.take_along_axis(soff, blab[..., None], -1)[..., 0]
+            slog, onehot, weight=bcw * bw, avg_factor=navg * 4 * side)
         losses_out["loss_bbox_reg"] = losses.smooth_l1_loss(
-            off_pred, boff, beta=0.1, weight=bw[:, None],
-            avg_factor=navg * 4)
+            soff, boff, beta=0.1, weight=bow * bw, avg_factor=navg * 4 * 2)
         return losses_out
 
     def simple_test(self, images, img_shapes, scale_factors=None,
@@ -395,15 +459,18 @@ class SABLFasterRCNN(nn.Module):
         rois = jnp.concatenate([bidx[..., None], props.boxes], axis=-1)
         flat = rois.reshape(B * P, 5)
         cls, slog, soff = self.sabl_head(inner._roi_extract(feats, flat))
-        boxes = bucket_decode(flat[:, 1:5], slog, soff, self.num_buckets,
-                              self.scale_factor)
+        boxes, conf = bucket_decode(flat[:, 1:5], slog, soff,
+                                    self.num_buckets, self.scale_factor)
         # express the decoded boxes as class-agnostic deltas so the
-        # standard decode+multiclass-NMS path applies unchanged
+        # standard decode+multiclass-NMS path applies unchanged; the
+        # bucketing-guided confidence rescores classes (`sabl_head.py`
+        # get_bboxes score_factors)
         reg = delta_encode(flat[:, 1:5], boxes, stds=inner.rcnn_target_stds)
         return bbox_head_detections(
             cls.reshape(B, P, -1), reg.reshape(B, P, 4), rois, img_shapes,
             self.num_classes, target_stds=inner.rcnn_target_stds,
-            roi_mask=props.mask, scale_factors=scale_factors, **cfg["rcnn"])
+            roi_mask=props.mask, scale_factors=scale_factors,
+            score_factors=conf.reshape(B, P), **cfg["rcnn"])
 
 
 @DETECTORS.register
@@ -461,20 +528,20 @@ class SABLCascadeRCNN(nn.Module):
         gt_match = delta_decode(flat_rois[:, 1:5],
                                 samples.bbox_targets.reshape(-1, 4),
                                 stds=inner.rcnn_target_stds)
-        blab, boff = bucket_encode(flat_rois[:, 1:5], gt_match,
-                                   self.num_buckets, scale_factor)
-        bw = samples.bbox_weights.reshape(-1)
         K = self.num_buckets
-        navg = jnp.maximum(bw.sum(), 1.0)
+        side = side_num_of(K)
+        boff, bow, blab, bcw = bucket_encode(flat_rois[:, 1:5], gt_match,
+                                             K, scale_factor)
+        bw = samples.bbox_weights.reshape(-1)[:, None, None]
+        navg = jnp.maximum(samples.bbox_weights.sum(), 1.0)
         out["loss_bbox_cls"] = losses.binary_cross_entropy(
-            slog, jax.nn.one_hot(blab, K), weight=bw[:, None, None],
-            avg_factor=navg * 4 * K)
-        off_pred = jnp.take_along_axis(soff, blab[..., None], -1)[..., 0]
+            slog, jax.nn.one_hot(blab, side), weight=bcw * bw,
+            avg_factor=navg * 4 * side)
         out["loss_bbox_reg"] = losses.smooth_l1_loss(
-            off_pred, boff, beta=0.1, weight=bw[:, None], avg_factor=navg * 4)
-        dec = bucket_decode(flat_rois[:, 1:5], slog, soff, self.num_buckets,
-                            scale_factor).reshape(B, S, 4)
-        return out, dec
+            soff, boff, beta=0.1, weight=bow * bw, avg_factor=navg * 4 * 2)
+        dec, _ = bucket_decode(flat_rois[:, 1:5], slog, soff,
+                               self.num_buckets, scale_factor)
+        return out, dec.reshape(B, S, 4)
 
     def forward_train(self, images, img_shapes, gt_boxes, gt_labels,
                       gt_valid, gt_masks=None, pano_ratio_v=None):
@@ -539,8 +606,9 @@ class SABLCascadeRCNN(nn.Module):
             cls, slog, soff = self.sabl_heads[t](inner._roi_extract(feats,
                                                                     flat))
             stage_scores.append(jax.nn.softmax(cls.reshape(B, P, -1), -1))
-            dec = bucket_decode(flat[:, 1:5], slog, soff, self.num_buckets,
-                                self.stage_scale_factors[t])
+            dec, _ = bucket_decode(flat[:, 1:5], slog, soff,
+                                   self.num_buckets,
+                                   self.stage_scale_factors[t])
             h = jnp.repeat(img_shapes[:, 0], P)
             w = jnp.repeat(img_shapes[:, 1], P)
             x = jnp.clip(dec[:, 0::2], 0, w[:, None])

@@ -25,28 +25,46 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+# Static sample capacity for sampling_ratio=0 (mmcv adaptive) — exact vs
+# the CUDA kernel when ceil(bin) <= this bound; see _roi_align_packed.
+ADAPTIVE_MAX_SAMPLES = 8
+
 import jax.numpy as jnp
 from jax import lax
 
 
 def _axis_weights(v1, bin_sz, o: int, s: int, size, n_cols: int,
-                  col_off, dtype):
+                  col_off, dtype, g=None):
     """Dense per-RoI interpolation matrix for one axis.
 
     v1: (R,) continuous start coordinate on the level grid; bin_sz: (R,)
     bin extent; size: (R,) valid extent (Hl or Wl) per roi; col_off: (R,)
     column offset of this roi's image/level block inside the packed axis
     of n_cols columns.  Returns (R, o, n_cols) with
-    W[r, i, col] = 1/s * Σ_samples Σ_taps w · [col == tap column], taps
+    W[r, i, col] = 1/g * Σ_samples Σ_taps w · [col == tap column], taps
     clamped to the border, samples fully outside (-1, size) zeroed —
     mmcv bilinear_interpolate semantics.
+
+    g: None -> fixed s samples per bin (Detectron2-style).  (R,) int32 ->
+    mmcv `sampling_ratio=0` adaptive counts (g[r] = ceil(bin)), realised
+    fixed-shape: s is the static sample capacity and samples >= g[r] are
+    masked out of the sum, so per-roi dynamic counts never change shapes.
     """
     R = v1.shape[0]
-    grid = (jnp.arange(o, dtype=jnp.float32)[:, None] +
-            (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s)  # (o, s)
-    v = v1[:, None, None] + bin_sz[:, None, None] * grid            # (R, o, s)
+    oi = jnp.arange(o, dtype=jnp.float32)[None, :, None]            # (1, o, 1)
+    si = jnp.arange(s, dtype=jnp.float32)[None, None, :]            # (1, 1, s)
+    if g is None:
+        offs = (si + 0.5) / s                                       # in-bin
+        active = jnp.ones((R, 1, s), bool)
+        denom = jnp.full((R, 1, 1), float(s), jnp.float32)
+    else:
+        gf = g.astype(jnp.float32)[:, None, None]                   # (R, 1, 1)
+        offs = (si + 0.5) / gf
+        active = si < gf
+        denom = gf
+    v = v1[:, None, None] + bin_sz[:, None, None] * (oi + offs)     # (R, o, s)
     sizef = size.astype(jnp.float32)[:, None, None]
-    inside = (v > -1.0) & (v < sizef)
+    inside = (v > -1.0) & (v < sizef) & active
     vc = jnp.clip(v, 0.0, sizef - 1)
     v0 = jnp.floor(vc)
     v1i = jnp.minimum(v0 + 1, sizef - 1)
@@ -59,7 +77,7 @@ def _axis_weights(v1, bin_sz, o: int, s: int, size, n_cols: int,
     # accumulate both taps of every sample into the dense matrix
     W = ((cols[None, None, None, :] == c0[..., None]) * w0[..., None] +
          (cols[None, None, None, :] == c1[..., None]) * w1[..., None])
-    return (W.sum(axis=2) / s).astype(dtype)                        # (R, o, n_cols)
+    return (W.sum(axis=2) / denom).astype(dtype)                    # (R, o, n_cols)
 
 
 def _crop_level(feat, Wy, Wx, chunk: int = 512):
@@ -160,7 +178,8 @@ def _crop_level_per_image(feat, Wy, Wx, chunk: int = 512):
 
 
 def _roi_align_packed(levels, rois, level_of_roi, inv_strides, out_size,
-                      sampling_ratio, aligned, per_image=None):
+                      sampling_ratio, aligned, per_image=None,
+                      adaptive_max=ADAPTIVE_MAX_SAMPLES):
     """Shared core: levels is a list of (B, Hl, Wl, C) maps; every roi is
     pooled from `levels[level_of_roi[r]]` at scale inv_strides[r].
 
@@ -168,12 +187,19 @@ def _roi_align_packed(levels, rois, level_of_roi, inv_strides, out_size,
     per_image), rois are taken as block-ordered by image — the layout
     every detector in this codebase produces via `rois.reshape(B*P, 5)` —
     and the batch one-hot fold is skipped (4x fewer MXU FLOPs at B=4).
+
+    sampling_ratio=0 is mmcv's adaptive grid (ceil(bin) samples per bin
+    side), realised fixed-shape with `adaptive_max` static sample capacity
+    and per-roi masking — exact vs the CUDA kernel whenever
+    ceil(bin) <= adaptive_max (FPN level routing keeps bins < 4 except for
+    degenerate aspect ratios).
     """
     B = levels[0].shape[0]
     C = levels[0].shape[-1]
     R = rois.shape[0]
     o = out_size
-    s = max(sampling_ratio, 1)
+    adaptive = sampling_ratio == 0
+    s = adaptive_max if adaptive else max(sampling_ratio, 1)
     dtype = levels[0].dtype
 
     offset = 0.5 if aligned else 0.0
@@ -187,6 +213,11 @@ def _roi_align_packed(levels, rois, level_of_roi, inv_strides, out_size,
         roi_h = jnp.maximum(roi_h, 1.0)
     bin_w = roi_w / o
     bin_h = roi_h / o
+    if adaptive:
+        gy = jnp.clip(jnp.ceil(bin_h), 1, s).astype(jnp.int32)
+        gx = jnp.clip(jnp.ceil(bin_w), 1, s).astype(jnp.int32)
+    else:
+        gy = gx = None
 
     use_per_image = per_image is not None and R == B * per_image
     out = jnp.zeros((R, o, o, C), dtype)
@@ -205,9 +236,9 @@ def _roi_align_packed(levels, rois, level_of_roi, inv_strides, out_size,
             Hv = jnp.where(onl, f.shape[1], Hv)
             Wv = jnp.where(onl, f.shape[2], Wv)
         Wy_all = _axis_weights(y1, bin_h, o, s, Hv, Hmax,
-                               jnp.zeros_like(bidx), dtype)
+                               jnp.zeros_like(bidx), dtype, g=gy)
         Wx_all = _axis_weights(x1, bin_w, o, s, Wv, Wmax,
-                               jnp.zeros_like(bidx), dtype)
+                               jnp.zeros_like(bidx), dtype, g=gx)
         for l, feat in enumerate(levels):
             Hl, Wl = feat.shape[1], feat.shape[2]
             sel = (level_of_roi == l).astype(dtype)
@@ -226,10 +257,11 @@ def _roi_align_packed(levels, rois, level_of_roi, inv_strides, out_size,
         Wv = jnp.full((R,), Wl, jnp.int32)
         # batch block offset folds image selection into the y axis;
         # off-level rois get zero weight rows (sel factor)
-        Wy = _axis_weights(y1, bin_h, o, s, Hv, B * Hl, bidx * Hl, dtype)
+        Wy = _axis_weights(y1, bin_h, o, s, Hv, B * Hl, bidx * Hl, dtype,
+                           g=gy)
         Wy = Wy * sel[:, None, None].astype(dtype)
         Wx = _axis_weights(x1, bin_w, o, s, Wv, Wl, jnp.zeros_like(bidx),
-                           dtype)
+                           dtype, g=gx)
         packed = feat.reshape(B * Hl, Wl, C)
         out = out + _crop_level(packed, Wy, Wx)
     return out

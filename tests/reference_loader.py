@@ -398,7 +398,257 @@ def load_reference_detcore():
             batched_nms=_torch_batched_nms,
             nms=_torch_nms,
             rpn_get_bboxes=rpn_get_bboxes,
+            PanoRPNHead=rpn_mod.PanoRPNHead,
             ConfigDict=_AttrDict,
+        )
+    except Exception:
+        import traceback
+        traceback.print_exc()
+        return None
+
+
+def _torch_roi_align_single(feat, roi, out_size, spatial_scale,
+                            sampling_ratio, aligned):
+    """mmcv.ops.RoIAlign forward for ONE roi on ONE (C, H, W) feature map —
+    scalar transcription of the CUDA kernel's documented semantics
+    (aligned=True: half-pixel offset, no 1px size clamp; sampling_ratio=0:
+    adaptive ceil(bin) grid; border handling: points past [-1, size] are
+    zero, then clamped to the edge).  Test-only."""
+    import math
+    import torch
+    C, H, W = feat.shape
+    ph_n, pw_n = out_size
+    off = 0.5 if aligned else 0.0
+    x1, y1, x2, y2 = [float(v) for v in roi]
+    roi_start_w = x1 * spatial_scale - off
+    roi_start_h = y1 * spatial_scale - off
+    roi_w = x2 * spatial_scale - off - roi_start_w
+    roi_h = y2 * spatial_scale - off - roi_start_h
+    if not aligned:
+        roi_w = max(roi_w, 1.0)
+        roi_h = max(roi_h, 1.0)
+    bin_h = roi_h / ph_n
+    bin_w = roi_w / pw_n
+    grid_h = sampling_ratio if sampling_ratio > 0 else \
+        int(math.ceil(roi_h / ph_n))
+    grid_w = sampling_ratio if sampling_ratio > 0 else \
+        int(math.ceil(roi_w / pw_n))
+    count = max(grid_h * grid_w, 1)
+    out = torch.zeros((C, ph_n, pw_n), dtype=feat.dtype)
+
+    def bilinear(y, x):
+        if y < -1.0 or y > H or x < -1.0 or x > W:
+            return torch.zeros(C, dtype=feat.dtype)
+        y = max(y, 0.0)
+        x = max(x, 0.0)
+        y_lo = int(y)
+        x_lo = int(x)
+        if y_lo >= H - 1:
+            y_hi = y_lo = H - 1
+            y = float(y_lo)
+        else:
+            y_hi = y_lo + 1
+        if x_lo >= W - 1:
+            x_hi = x_lo = W - 1
+            x = float(x_lo)
+        else:
+            x_hi = x_lo + 1
+        ly, lx = y - y_lo, x - x_lo
+        hy, hx = 1.0 - ly, 1.0 - lx
+        return (feat[:, y_lo, x_lo] * hy * hx + feat[:, y_lo, x_hi] * hy * lx
+                + feat[:, y_hi, x_lo] * ly * hx
+                + feat[:, y_hi, x_hi] * ly * lx)
+
+    for ph in range(ph_n):
+        for pw in range(pw_n):
+            acc = torch.zeros(C, dtype=feat.dtype)
+            for iy in range(max(grid_h, 1)):
+                y = roi_start_h + ph * bin_h + (iy + 0.5) * bin_h / max(
+                    grid_h, 1)
+                for ix in range(max(grid_w, 1)):
+                    x = roi_start_w + pw * bin_w + (ix + 0.5) * bin_w / max(
+                        grid_w, 1)
+                    acc = acc + bilinear(y, x)
+            out[:, ph, pw] = acc / count
+    return out
+
+
+def load_reference_bucketing_coder():
+    """Load the reference SABL `BucketingBBoxCoder` + `bbox2bucket` /
+    `bucket2bbox` (`mmdet/core/bbox/coder/bucketing_bbox_coder.py`) —
+    pure torch once mmcv.jit and the registries are stubbed."""
+    try:
+        import types as _t
+        if load_reference() is None:
+            return None
+        mmcv_stub = _t.ModuleType("mmcv_stub")
+        mmcv_stub.jit = lambda **kw: (lambda f: f)
+        transforms = _exec_patched(
+            "mmdet/core/bbox/transforms.py", "ref_bbox_transforms2")
+        noop_registry = (
+            "class _Reg:\n"
+            "    def register_module(self, *a, **k):\n"
+            "        return lambda c: c\n")
+        mod = _exec_patched(
+            "mmdet/core/bbox/coder/bucketing_bbox_coder.py",
+            "ref_bucketing_coder",
+            [("import mmcv\n", ""),
+             ("from ..builder import BBOX_CODERS",
+              noop_registry + "BBOX_CODERS = _Reg()"),
+             ("from ..transforms import bbox_rescale", ""),
+             ("from .base_bbox_coder import BaseBBoxCoder",
+              "BaseBBoxCoder = object")],
+            inject={"mmcv": mmcv_stub,
+                    "bbox_rescale": transforms.bbox_rescale})
+        return mod
+    except Exception:
+        import traceback
+        traceback.print_exc()
+        return None
+
+
+def _make_torch_roi_align():
+    """mmcv.ops.RoIAlign API shim (nn.Module) over the scalar
+    transcription.  Built lazily so this file imports without torch."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.modules.utils as tu
+
+    class TorchRoIAlign(nn.Module):
+        def __init__(self, output_size, spatial_scale=1.0, sampling_ratio=0,
+                     pool_mode="avg", aligned=True, **kw):
+            super().__init__()
+            self.output_size = tu._pair(output_size)
+            self.spatial_scale = spatial_scale
+            self.sampling_ratio = sampling_ratio
+            self.aligned = aligned
+
+        def forward(self, feats, rois):
+            N = rois.shape[0]
+            C = feats.shape[1]
+            out = torch.zeros((N, C, *self.output_size), dtype=feats.dtype)
+            for i in range(N):
+                b = int(rois[i, 0].item())
+                out[i] = _torch_roi_align_single(
+                    feats[b], rois[i, 1:5].tolist(), self.output_size,
+                    self.spatial_scale, self.sampling_ratio, self.aligned)
+            return out
+
+    return TorchRoIAlign
+
+
+def load_reference_detstack():
+    """Load the reference's torch FPN, SingleRoIExtractor and
+    Shared2FCBBoxHead for end-to-end forward parity.  mmcv.cnn.ConvModule
+    degrades to a plain conv (FPN passes norm_cfg=act_cfg=None);
+    mmcv.ops.RoIAlign is the scalar transcription above.  Returns a
+    namespace or None."""
+    try:
+        import types as _t
+        core = load_reference_detcore()
+        if core is None:
+            return None
+        import torch
+        import torch.nn as nn
+
+        class ConvModule(nn.Module):
+            """conv(+ReLU) stand-in for mmcv.cnn.ConvModule with
+            norm_cfg=None (bias='auto' -> True), as the FPN/ConvFC heads
+            construct it."""
+
+            def __init__(self, in_c, out_c, k, stride=1, padding=0,
+                         dilation=1, groups=1, bias="auto", conv_cfg=None,
+                         norm_cfg=None, act_cfg=None, inplace=True, **kw):
+                super().__init__()
+                assert norm_cfg is None, "stub only supports norm_cfg=None"
+                if act_cfg is not None and act_cfg != dict(type="ReLU"):
+                    raise NotImplementedError(act_cfg)
+                self.with_act = act_cfg is not None
+                self.conv = nn.Conv2d(in_c, out_c, k, stride=stride,
+                                      padding=padding, dilation=dilation,
+                                      groups=groups, bias=True)
+
+            def forward(self, x):
+                x = self.conv(x)
+                if self.with_act:
+                    x = torch.relu(x)
+                return x
+
+        def identity_deco(*a, **k):
+            def wrap(f):
+                return f
+            return wrap
+
+        noop_registry = (
+            "class _Reg:\n"
+            "    def register_module(self, *a, **k):\n"
+            "        return lambda c: c\n")
+
+        fpn = _exec_patched(
+            "mmdet/models/necks/fpn.py", "ref_fpn",
+            [("from mmcv.cnn import ConvModule, xavier_init", ""),
+             ("from mmcv.runner import auto_fp16", ""),
+             ("from ..builder import NECKS",
+              noop_registry + "NECKS = _Reg()")],
+            inject={"ConvModule": ConvModule,
+                    "xavier_init": lambda *a, **k: None,
+                    "auto_fp16": identity_deco})
+
+        TorchRoIAlign = _make_torch_roi_align()
+        ops_ns = _t.SimpleNamespace(RoIAlign=TorchRoIAlign)
+        base_ext = _exec_patched(
+            "mmdet/models/roi_heads/roi_extractors/base_roi_extractor.py",
+            "ref_base_roi_extractor",
+            [("from mmcv import ops", "")],
+            inject={"ops": ops_ns})
+        single_ext = _exec_patched(
+            "mmdet/models/roi_heads/roi_extractors/"
+            "single_level_roi_extractor.py",
+            "ref_single_roi_extractor",
+            [("from mmcv.runner import force_fp32", ""),
+             ("from mmdet.models.builder import ROI_EXTRACTORS",
+              noop_registry + "ROI_EXTRACTORS = _Reg()"),
+             ("from .base_roi_extractor import BaseRoIExtractor", "")],
+            inject={"force_fp32": identity_deco,
+                    "BaseRoIExtractor": base_ext.BaseRoIExtractor})
+
+        def build_bbox_coder(cfg):
+            cfg = dict(cfg)
+            assert cfg.pop("type") == "DeltaXYWHBBoxCoder"
+            return core.DeltaXYWHBBoxCoder(**cfg)
+
+        bbox_head = _exec_patched(
+            "mmdet/models/roi_heads/bbox_heads/bbox_head.py",
+            "ref_bbox_head",
+            [("from mmcv.runner import auto_fp16, force_fp32", ""),
+             ("from mmdet.core import build_bbox_coder, multi_apply, "
+              "multiclass_nms", ""),
+             ("from mmdet.models.builder import HEADS, build_loss",
+              noop_registry + "HEADS = _Reg()"),
+             ("from mmdet.models.losses import accuracy", "")],
+            inject={"auto_fp16": identity_deco, "force_fp32": identity_deco,
+                    "build_bbox_coder": build_bbox_coder,
+                    "multi_apply": None, "accuracy": None,
+                    "build_loss": lambda cfg: None,
+                    "multiclass_nms": core.multiclass_nms})
+
+        convfc = _exec_patched(
+            "mmdet/models/roi_heads/bbox_heads/convfc_bbox_head.py",
+            "ref_convfc_bbox_head",
+            [("from mmcv.cnn import ConvModule", ""),
+             ("from mmdet.models.builder import HEADS",
+              noop_registry + "HEADS = _Reg()"),
+             ("from .bbox_head import BBoxHead", "")],
+            inject={"ConvModule": ConvModule,
+                    "BBoxHead": bbox_head.BBoxHead})
+
+        return _t.SimpleNamespace(
+            core=core,
+            FPN=fpn.FPN,
+            SingleRoIExtractor=single_ext.SingleRoIExtractor,
+            BBoxHead=bbox_head.BBoxHead,
+            Shared2FCBBoxHead=convfc.Shared2FCBBoxHead,
+            RoIAlign=TorchRoIAlign,
         )
     except Exception:
         import traceback

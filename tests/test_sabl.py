@@ -16,14 +16,16 @@ def test_bucket_roundtrip(rng):
                      jnp.minimum(gts[:, 1], gts[:, 3]),
                      jnp.maximum(gts[:, 0], gts[:, 2]),
                      jnp.maximum(gts[:, 1], gts[:, 3])], -1)
-    lab, off = bucket_encode(anchors, gts, 14, 3.0)
-    # build perfect logits from the labels and decode back
-    logits = jax.nn.one_hot(lab, 14) * 10.0                 # (N, 4, K)
-    offs = jnp.zeros((5, 4, 14))
-    for s in range(4):
-        offs = offs.at[jnp.arange(5), s, lab[:, s]].set(off[:, s])
-    dec = np.asarray(bucket_decode(anchors, logits, offs, 14, 3.0))
-    np.testing.assert_allclose(dec, np.asarray(gts), atol=1e-3)
+    off, ow, lab, cw = bucket_encode(anchors, gts, 14, 3.0)
+    # build perfect logits from the labels; decode gathers the offset at
+    # the argmax bucket, so the full encode offsets round-trip directly
+    logits = jax.nn.one_hot(lab, off.shape[-1]) * 10.0      # (N, 4, side)
+    dec, conf = bucket_decode(anchors, logits, off, 14, 3.0)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(gts), atol=1e-3)
+    assert conf.shape == (5,)
+    # top-1 weight is always 1 at the labeled bucket
+    lab_w = jnp.take_along_axis(ow, lab[..., None], 2)[..., 0]
+    np.testing.assert_array_equal(np.asarray(lab_w), 1.0)
 
 
 def test_sabl_train_and_test(rng):
