@@ -88,3 +88,41 @@ def correct_center(img: jnp.ndarray, patch_size: int,
     out = jnp.take_along_axis(
         img, gxj.reshape((1,) * (img.ndim - 3) + (h, w, 1)), axis=-2)
     return jnp.where(jnp.asarray(vmask)[..., None], out, padding_value)
+
+
+def correct_center_traced(img: jnp.ndarray, patch_size: int,
+                          ratio_v0, ratio_v1, ori_h,
+                          padding_value: float = 0.0) -> jnp.ndarray:
+    """Jit-traceable basketball rescale with *traced* pano ratios.
+
+    `correct_center` above precomputes a static numpy gather map, which
+    requires concrete `ratio_v` — fine for data pipelines, unusable inside
+    a jitted model where `pano_ratio_v` is batch data.  This variant
+    builds the same map with jnp ops (shapes static, values traced),
+    matching the reference model path
+    (`panoswin_transformer.py:842-851` -> `correct_center:92` with
+    `length=pano_ratio_v[i][2]`, i.e. gap_uv measured against the
+    ORIGINAL image height, and `F.interpolate` nearest = floor(t*p/s)
+    with torch.round half-to-even target widths).
+
+    img: (H, W, C); ratios/ori_h: traced scalars.  Returns (H, W, C).
+    """
+    h, w = img.shape[0], img.shape[1]
+    p = patch_size
+    n_py = h // p
+    gap_uv = p / ori_h * PI * (ratio_v1 - ratio_v0)
+    v_rows = (jnp.arange(n_py, dtype=jnp.float32) + 0.5) * gap_uv \
+        + (ratio_v0 - 0.5) * PI
+    sizes = jnp.round(jnp.cos(v_rows) * p).astype(jnp.int32)   # (n_py,)
+
+    ys = jnp.arange(h) // p                                    # (h,)
+    s = sizes[ys][:, None]                                     # (h, 1)
+    local = (jnp.arange(w) % p)[None, :]                       # (1, w)
+    start = (p - s) // 2
+    t = local - start                                          # (h, w)
+    ok = (t >= 0) & (t < s) & (s >= 1)
+    s_safe = jnp.maximum(s, 1)
+    src = jnp.clip((t * p) // s_safe, 0, p - 1)
+    gx = (jnp.arange(w)[None, :] // p) * p + src               # (h, w)
+    out = jnp.take_along_axis(img, gx[..., None], axis=1)
+    return jnp.where(ok[..., None], out, padding_value)

@@ -275,16 +275,76 @@ def seam_stitched_mask(Hp: int, Wp: int, ws: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
-class PatchEmbedV2(nn.Module):
-    """`PatchEmbed:782` 'cnn': 3x3(32)+BN+ReLU -> 3x3(64)+BN+ReLU ->
-    patch-stride conv(embed)."""
-    patch_size: int = 4
+class PixelTransformerV2(nn.Module):
+    """`PixelTransformer:739` — per-patch 1-layer transformer embed
+    (`emb_conv_type='tf'`), exact torch-1.6 semantics:
+
+    - `process_x:758` decomposes H as `(p1 w)` / W as `(p2 h)` with the
+      patch index OUTER — patch "pixels" are strided by the patch count,
+      not contiguous 4x4 blocks.  A reference quirk, reproduced verbatim
+      for checkpoint parity.
+    - Linear(c -> d) `preprocess_nouv` + learned pos_embedding, then ONE
+      post-norm `nn.TransformerEncoderLayer` (nhead=8, ffn=d, relu,
+      dropout inert at inference), then SUM over the p*p sequence
+      (`forward:766-770`, uv_mask=None — the only path `PatchEmbed.forward`
+      reaches, `:851 self.proj(x)`).
+    """
     embed_dim: int = 96
-    use_norm: bool = True
+    patch_size: int = 4
+    num_heads: int = 8
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x):
+        p, d, nh = self.patch_size, self.embed_dim, self.num_heads
+        dt = resolve_dtype(self.dtype)
+        B, H, W, C = x.shape
+        nH, nW = H // p, W // p
+        # '(p1 w) (p2 h)' with p1/p2 outer (strided patch decomposition)
+        x = x.reshape(B, p, nH, p, nW, C)
+        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B * nH * nW, p * p, C)
+        x = nn.Dense(d, dtype=dt, name="preprocess_nouv")(x)
+        pos = self.param("pos_embedding", nn.initializers.normal(1.0),
+                         (1, p * p, d))
+        x = x + pos.astype(x.dtype)
+        # torch TransformerEncoderLayer (post-norm): MHA + residual + LN,
+        # then linear->relu->linear + residual + LN
+        qkv_w = self.param("in_proj_weight",
+                           nn.initializers.xavier_uniform(), (3 * d, d))
+        qkv_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
+        qkv = x @ qkv_w.T.astype(x.dtype) + qkv_b.astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = d // nh
+        N = x.shape[0]
+        q = q.reshape(N, p * p, nh, hd).transpose(0, 2, 1, 3) * (hd ** -0.5)
+        k = k.reshape(N, p * p, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(N, p * p, nh, hd).transpose(0, 2, 1, 3)
+        attn = jax.nn.softmax((q @ k.transpose(0, 1, 3, 2)
+                               ).astype(jnp.float32), axis=-1).astype(x.dtype)
+        o = (attn @ v).transpose(0, 2, 1, 3).reshape(N, p * p, d)
+        o = nn.Dense(d, dtype=dt, name="out_proj")(o)
+        x = layer_norm("norm1")(x + o)
+        f = nn.Dense(d, dtype=dt, name="linear1")(x)
+        f = nn.Dense(d, dtype=dt, name="linear2")(nn.relu(f))
+        x = layer_norm("norm2")(x + f)
+        x = x.sum(axis=1)                       # `forward:770` seq-sum pool
+        return x.reshape(B, nH, nW, d)
+
+
+class PatchEmbedV2(nn.Module):
+    """`PatchEmbed:782` — 'cnn': 3x3(32)+BN+ReLU -> 3x3(64)+BN+ReLU ->
+    patch-stride conv(embed); 'tf': `PixelTransformerV2`.  Optional
+    basketball `correct_center` latitude pre-warp (`:842-851`, per image
+    with gap_uv against the original height `pano_ratio_v[:,2]`)."""
+    patch_size: int = 4
+    embed_dim: int = 96
+    use_norm: bool = True
+    emb_conv_type: str = "cnn"
+    basketball_trans: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, pano_ratio_v=None, train: bool = False):
         ps = self.patch_size
         dt = resolve_dtype(self.dtype)
         if dt is not None:
@@ -294,16 +354,27 @@ class PatchEmbedV2(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, 0), (0, ps - W % ps), (0, 0)))
         if H % ps:
             x = jnp.pad(x, ((0, 0), (0, ps - H % ps), (0, 0), (0, 0)))
-        x = nn.Conv(32, (3, 3), padding=1, dtype=dt, name="conv0")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn0")(x)
-        x = nn.relu(x)
-        x = nn.Conv(64, (3, 3), padding=1, dtype=dt, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(x)
-        x = nn.relu(x)
-        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), dtype=dt,
-                    name="proj")(x)
+        if self.basketball_trans:
+            if pano_ratio_v is None:
+                pano_ratio_v = jnp.tile(
+                    jnp.array([[0.0, 1.0, float(H)]], jnp.float32), (B, 1))
+            from ..geometry.basketball import correct_center_traced
+            x = jax.vmap(lambda im, pr: correct_center_traced(
+                im, ps, pr[0], pr[1], pr[2]))(x, pano_ratio_v)
+        if self.emb_conv_type == "tf":
+            x = PixelTransformerV2(self.embed_dim, ps, dtype=dt,
+                                   name="proj")(x)
+        else:
+            x = nn.Conv(32, (3, 3), padding=1, dtype=dt, name="conv0")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name="bn0")(x)
+            x = nn.relu(x)
+            x = nn.Conv(64, (3, 3), padding=1, dtype=dt, name="conv1")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name="bn1")(x)
+            x = nn.relu(x)
+            x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), dtype=dt,
+                        name="proj")(x)
         if self.use_norm:
             x = layer_norm("norm")(x)
         if dt is not None:
@@ -328,6 +399,8 @@ class PanoSwinTransformerV2(nn.Module):
     patch_norm: bool = True
     out_indices: Sequence[int] = (0, 1, 2, 3)
     win_trans_type: int = 1
+    emb_conv_type: str = "cnn"
+    basketball_trans: bool = False
     use_checkpoint: bool = False
     dtype: Any = None
 
@@ -342,8 +415,12 @@ class PanoSwinTransformerV2(nn.Module):
                 jnp.array([[0.0, 1.0, float(H0)]], jnp.float32), (B, 1))
 
         x = PatchEmbedV2(self.patch_size, self.embed_dim,
-                         use_norm=self.patch_norm, dtype=self.dtype,
-                         name="patch_embed")(images, train=train)
+                         use_norm=self.patch_norm,
+                         emb_conv_type=self.emb_conv_type,
+                         basketball_trans=self.basketball_trans,
+                         dtype=self.dtype,
+                         name="patch_embed")(images, pano_ratio_v,
+                                             train=train)
         B, H, W, C = x.shape
 
         def vmap_v(pr):

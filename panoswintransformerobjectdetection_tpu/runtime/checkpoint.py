@@ -330,14 +330,33 @@ def convert_panoswin_v2_backbone(sd: Dict[str, Any], depths,
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
-    pe = {
-        "conv0": _conv(sd, "patch_embed.proj.0"),
-        "conv1": _conv(sd, "patch_embed.proj.3"),
-        "proj": _conv(sd, "patch_embed.proj.6"),
-    }
     pe_stats = {}
-    pe["bn0"], pe_stats["bn0"] = _bn(sd, "patch_embed.proj.1")
-    pe["bn1"], pe_stats["bn1"] = _bn(sd, "patch_embed.proj.4")
+    if "patch_embed.proj.pos_embedding" in sd:
+        # emb_conv_type='tf': PixelTransformer (`panoswin_transformer.py:739`)
+        # — only the uv_mask=None path's params map (preprocess / the uv
+        # branch is unreachable from PatchEmbed.forward:851)
+        p = "patch_embed.proj."
+        pe = {"proj": {
+            "preprocess_nouv": _linear(sd, p + "preprocess_nouv.0"),
+            "pos_embedding": _np(sd[p + "pos_embedding"]),
+            "in_proj_weight": _np(
+                sd[p + "encoder.layers.0.self_attn.in_proj_weight"]),
+            "in_proj_bias": _np(
+                sd[p + "encoder.layers.0.self_attn.in_proj_bias"]),
+            "out_proj": _linear(sd, p + "encoder.layers.0.self_attn.out_proj"),
+            "linear1": _linear(sd, p + "encoder.layers.0.linear1"),
+            "linear2": _linear(sd, p + "encoder.layers.0.linear2"),
+            "norm1": _ln(sd, p + "encoder.layers.0.norm1"),
+            "norm2": _ln(sd, p + "encoder.layers.0.norm2"),
+        }}
+    else:
+        pe = {
+            "conv0": _conv(sd, "patch_embed.proj.0"),
+            "conv1": _conv(sd, "patch_embed.proj.3"),
+            "proj": _conv(sd, "patch_embed.proj.6"),
+        }
+        pe["bn0"], pe_stats["bn0"] = _bn(sd, "patch_embed.proj.1")
+        pe["bn1"], pe_stats["bn1"] = _bn(sd, "patch_embed.proj.4")
     if "patch_embed.norm.weight" in sd:
         pe["norm"] = _ln(sd, "patch_embed.norm")
     params["patch_embed"] = pe

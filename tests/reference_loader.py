@@ -656,6 +656,21 @@ def load_reference_detstack():
         return None
 
 
+def load_reference_basketball():
+    """Import the reference `basketball_transform_torchcuda.py` (torch CPU:
+    correct_center / get_v_all_patches / stb_adj_info)."""
+    try:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "ref_basketball",
+            REFERENCE_ROOT + "/lzx/lzx_augs/basketball_transform_torchcuda.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    except Exception:
+        return None
+
+
 def load_reference():
     """Returns the dict of reference modules, or None if unavailable."""
     try:
