@@ -199,6 +199,18 @@ class DetResult(NamedTuple):
     mask: jnp.ndarray     # (K,) bool
 
 
+# allow jax.export artifacts whose output tree contains these result tuples
+# (tools/export_model.py --format exported; tests/test_export.py)
+try:
+    import jax.export as _jax_export
+    _jax_export.register_namedtuple_serialization(
+        NMSResult, serialized_name="panoswin_tpu.NMSResult")
+    _jax_export.register_namedtuple_serialization(
+        DetResult, serialized_name="panoswin_tpu.DetResult")
+except Exception:  # pragma: no cover - older jax without export registry
+    pass
+
+
 def multiclass_nms(multi_boxes: jnp.ndarray, multi_scores: jnp.ndarray,
                    score_thr: float, iou_threshold: float,
                    max_per_img: int, pre_nms: int = 2000,

@@ -2,7 +2,11 @@
 """Export a detector forward to portable artifacts (reference
 `tools/pytorch2onnx.py` role, TPU-native flavors):
 
-  --format stablehlo : serialized StableHLO MLIR of the jitted simple_test
+  --format stablehlo : StableHLO MLIR text of the jitted simple_test
+  --format exported  : jax.export serialized artifact (portable bytes; can
+                       be reloaded with jax.export.deserialize and executed
+                       — numerical equivalence asserted in
+                       tests/test_export.py)
   --format savedmodel: TF SavedModel via jax2tf (when tensorflow present)
 """
 
@@ -18,7 +22,7 @@ def main():
     p.add_argument("config", nargs="?", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--shape", type=int, nargs=2, default=[512, 1024])
-    p.add_argument("--format", choices=["stablehlo", "savedmodel"],
+    p.add_argument("--format", choices=["stablehlo", "exported", "savedmodel"],
                    default="stablehlo")
     p.add_argument("--out", default="exported")
     args = p.parse_args()
@@ -50,6 +54,14 @@ def main():
         with open(out, "w") as f:
             f.write(mlir)
         print(f"wrote {out} ({len(mlir)} bytes of StableHLO)")
+    elif args.format == "exported":
+        exp = jax.export.export(jax.jit(fn))(images)
+        blob = exp.serialize()
+        out = args.out + ".jaxexport"
+        with open(out, "wb") as f:
+            f.write(blob)
+        print(f"wrote {out} ({len(blob)} bytes; reload with "
+              f"jax.export.deserialize)")
     else:
         from jax.experimental import jax2tf
         import tensorflow as tf
