@@ -119,9 +119,23 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
 
     # use as many devices as divide the global batch
     devices = jax.devices()
-    n_use = max(d for d in range(1, len(devices) + 1) if batch_size % d == 0)
-    mesh = make_mesh(devices[:n_use])
     assert batch_size % nproc == 0, (batch_size, nproc)
+    if nproc > 1:
+        # the mesh must span EVERY process (each feeds its local shard via
+        # make_array_from_process_local_data); pick an equal per-process
+        # device count k that divides the local batch
+        local_batch = batch_size // nproc
+        per_proc = {}
+        for d in devices:
+            per_proc.setdefault(d.process_index, []).append(d)
+        n_local = min(len(v) for v in per_proc.values())
+        k = max(kk for kk in range(1, n_local + 1) if local_batch % kk == 0)
+        devices = [d for p in sorted(per_proc) for d in per_proc[p][:k]]
+        mesh = make_mesh(devices)
+    else:
+        n_use = max(d for d in range(1, len(devices) + 1)
+                    if batch_size % d == 0)
+        mesh = make_mesh(devices[:n_use])
     loader = DetDataLoader(dataset, batch_size=batch_size // nproc,
                            max_gt=max_gt, seed=seed,
                            num_shards=nproc, shard_id=pid,
@@ -188,14 +202,22 @@ def train_detector(det, dataset, *, work_dir: str, total_epochs: int = 12,
                                          if isinstance(v, float)))
                     json_log.write(json.dumps(m) + "\n")
                     json_log.flush()
-            if (epoch + 1) % checkpoint_interval == 0 and is_main:
+            if (epoch + 1) % checkpoint_interval == 0:
+                # orbax saves are COLLECTIVE under jax.distributed: every
+                # process must enter the save (orbax writes replicated
+                # values from the primary host only, but all processes
+                # must reach its sync barriers — a process-0-only call
+                # desyncs the collective stream and corrupts later
+                # allgathers).  Reference's rank-0-only torch.save
+                # (`mmcv` CheckpointHook) does not transfer to JAX.
                 path = os.path.join(work_dir, f"epoch_{epoch + 1}")
                 save_checkpoint(os.path.abspath(path), state)
-                latest = os.path.join(work_dir, "latest")
-                if os.path.islink(latest):
-                    os.unlink(latest)
-                if not os.path.exists(latest):
-                    os.symlink(os.path.abspath(path), latest)
+                if is_main:
+                    latest = os.path.join(work_dir, "latest")
+                    if os.path.islink(latest):
+                        os.unlink(latest)
+                    if not os.path.exists(latest):
+                        os.symlink(os.path.abspath(path), latest)
             if eval_fn is not None:
                 metrics = eval_fn(state)
                 if is_main and metrics is not None:
