@@ -15,6 +15,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # full-size/overfit tier (VERDICT r3 #8)
+
 from panoswintransformerobjectdetection_tpu.models.panoswin import (
     PanoSwinTransformer)
 from panoswintransformerobjectdetection_tpu.models.swin import SwinTransformer

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # full-size/overfit tier (VERDICT r3 #8)
+
 from panoswintransformerobjectdetection_tpu.models.swin import SwinTransformer
 from panoswintransformerobjectdetection_tpu.runtime.checkpoint import (
     convert_swin_backbone)

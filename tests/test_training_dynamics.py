@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # full-size/overfit tier (VERDICT r3 #8)
+
 
 def test_detector_overfits_fixed_batch(rng):
     from tests.test_detector import tiny_detector
