@@ -495,12 +495,17 @@ def bbox_head_detections(cls_logits, bbox_pred, rois, img_shapes, num_classes,
     if score_factors is not None:
         scores = scores * score_factors[..., None]
     boxes = delta_decode(rois[..., 1:5], bbox_pred, target_means, target_stds)
+    # per-image clip of ALL k per-class boxes (the previous stack kept only
+    # class 0's box, collapsing class-specific regression — caught by
+    # tests/test_e2e_reference_parity.py)
+    k = boxes.shape[-1] // 4
+    b4 = boxes.reshape(B, P, k, 4)
     h = img_shapes[:, 0][:, None, None]
     w = img_shapes[:, 1][:, None, None]
-    x = jnp.clip(boxes[..., 0::2], 0, w)
-    y = jnp.clip(boxes[..., 1::2], 0, h)
-    boxes = jnp.stack([x[..., 0], y[..., 0], x[..., 1], y[..., 1]], -1)
-    boxes = boxes.reshape(B, P, -1)
+    boxes = jnp.stack([jnp.clip(b4[..., 0], 0, w),
+                       jnp.clip(b4[..., 1], 0, h),
+                       jnp.clip(b4[..., 2], 0, w),
+                       jnp.clip(b4[..., 3], 0, h)], -1).reshape(B, P, 4 * k)
     if scale_factors is not None:
         k = boxes.shape[-1] // 4
         boxes = boxes / jnp.tile(scale_factors, (1, k))[:, None, :]
