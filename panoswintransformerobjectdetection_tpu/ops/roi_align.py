@@ -145,9 +145,13 @@ def _crop_level_per_image(feat, Wy, Wx, chunk: int = 512):
     stage-1 intermediate in VMEM instead of round-tripping ~GBs of HBM.
     """
     if _pallas_crop_enabled():
+        import jax
         from .roi_align_pallas import fused_crop_per_image, supports
         if supports(feat, Wy, Wx):
-            return fused_crop_per_image(feat, Wy, Wx)
+            # Mosaic only lowers on TPU; interpret elsewhere (tests force
+            # the pallas path on via USE_PALLAS_CROP / the env knob)
+            return fused_crop_per_image(
+                feat, Wy, Wx, 16, jax.devices()[0].platform != "tpu")
     B, Hl, Wl, C = feat.shape
     _, P, o, _ = Wy.shape
 
@@ -175,6 +179,109 @@ def _crop_level_per_image(feat, Wy, Wx, chunk: int = 512):
                         Wx.reshape(B, n_chunks, chunk, o, Wl).transpose(1, 0, 2, 3, 4)))
     out = out.transpose(1, 0, 2, 3, 4, 5).reshape(B, n_chunks * chunk, o, o, C)
     return out[:, :P]
+
+
+def _windowed_supported(levels, o) -> bool:
+    """Static eligibility of the windowed Pallas crop: lane-aligned C
+    (the kernel's VMEM reshapes split the minor dim at C) and an output
+    size whose per-bin span can fit the window for in-band rois."""
+    C = levels[0].shape[-1]
+    return C % 128 == 0 and o <= 16 and len(levels) <= 4
+
+
+def _dense_multilevel(levels, Wy_all, Wx_all, level_of_roi, o, per_image):
+    """Reference dense per-level einsum crop (summed over level-masked
+    weights) — the fallback branch AND the formulation every gradient is
+    computed through."""
+    B = levels[0].shape[0]
+    C = levels[0].shape[-1]
+    R = Wy_all.shape[0]
+    dtype = levels[0].dtype
+    out = jnp.zeros((R, o, o, C), dtype)
+    for l, feat in enumerate(levels):
+        Hl, Wl = feat.shape[1], feat.shape[2]
+        sel = (level_of_roi == l).astype(dtype)
+        Wy = Wy_all[:, :, :Hl] * sel[:, None, None]
+        Wx = Wx_all[:, :, :Wl]
+        crop = _crop_level_per_image(
+            feat, Wy.reshape(B, per_image, o, Hl),
+            Wx.reshape(B, per_image, o, Wl))
+        out = out + crop.reshape(R, o, o, C)
+    return out
+
+
+def _float0(x):
+    import jax
+    return np.zeros(np.shape(x), jax.dtypes.float0) \
+        if not jnp.issubdtype(jnp.result_type(x), jnp.floating) \
+        else jnp.zeros_like(x)
+
+
+def _hybrid_forward(static, levels, Wy_all, Wx_all, level_of_roi, ok,
+                    y0, x0, W1w, W2w):
+    import jax
+    from .roi_align_pallas import windowed_crop, S_WIN
+    o, per_image = static
+    B = levels[0].shape[0]
+    C = levels[0].shape[-1]
+
+    def windowed(_):
+        padded = [jnp.pad(f, ((0, 0), (0, max(0, S_WIN - f.shape[1])),
+                              (0, max(0, S_WIN - f.shape[2])), (0, 0)))
+                  for f in levels]
+        interp = jax.devices()[0].platform != "tpu"
+        crop = windowed_crop(
+            list(padded), level_of_roi.reshape(B, per_image),
+            y0.reshape(B, per_image), x0.reshape(B, per_image),
+            W1w.reshape(B, per_image, o, S_WIN),
+            W2w.reshape(B, per_image, o, S_WIN), o, interpret=interp)
+        return crop.reshape(-1, o, o, C)
+
+    def dense(_):
+        return _dense_multilevel(levels, Wy_all, Wx_all, level_of_roi, o,
+                                 per_image)
+
+    return lax.cond(ok, windowed, dense, operand=None)
+
+
+import functools as _functools
+import jax as _jax
+
+
+@_functools.partial(_jax.custom_vjp, nondiff_argnums=(0,))
+def _hybrid_crop(static, levels, Wy_all, Wx_all, level_of_roi, ok,
+                 y0, x0, W1w, W2w):
+    """Windowed Pallas crop with exact dense fallback (`lax.cond` on the
+    runtime span-eligibility predicate).  Both branches compute the same
+    values (same weights, same f32-accumulate + dtype cast between
+    stages), so the VJP is taken through the dense einsum formulation —
+    feature and roi-coordinate gradients match the plain dense path."""
+    return _hybrid_forward(static, levels, Wy_all, Wx_all, level_of_roi,
+                           ok, y0, x0, W1w, W2w)
+
+
+def _hybrid_fwd(static, levels, Wy_all, Wx_all, level_of_roi, ok,
+                y0, x0, W1w, W2w):
+    out = _hybrid_forward(static, levels, Wy_all, Wx_all, level_of_roi,
+                          ok, y0, x0, W1w, W2w)
+    return out, (levels, Wy_all, Wx_all, level_of_roi, ok, y0, x0, W1w, W2w)
+
+
+def _hybrid_bwd(static, res, g):
+    import jax
+    levels, Wy_all, Wx_all, level_of_roi, ok, y0, x0, W1w, W2w = res
+    o, per_image = static
+    _, vjp = jax.vjp(
+        lambda lv, wy, wx: _dense_multilevel(lv, wy, wx, level_of_roi, o,
+                                             per_image),
+        levels, Wy_all, Wx_all)
+    d_levels, d_wy, d_wx = vjp(g)
+    return (d_levels, d_wy, d_wx, _float0(level_of_roi), _float0(ok),
+            _float0(y0), _float0(x0), jnp.zeros_like(W1w),
+            jnp.zeros_like(W2w))
+
+
+_hybrid_crop.defvjp(_hybrid_fwd, _hybrid_bwd)
 
 
 def _roi_align_packed(levels, rois, level_of_roi, inv_strides, out_size,
@@ -239,6 +346,21 @@ def _roi_align_packed(levels, rois, level_of_roi, inv_strides, out_size,
                                jnp.zeros_like(bidx), dtype, g=gy)
         Wx_all = _axis_weights(x1, bin_w, o, s, Wv, Wmax,
                                jnp.zeros_like(bidx), dtype, g=gx)
+        if _pallas_crop_enabled() and _windowed_supported(levels, o):
+            from .roi_align_pallas import S_WIN
+            Hp = jnp.maximum(Hv, S_WIN)   # padded extent of the roi's level
+            Wp = jnp.maximum(Wv, S_WIN)
+            y0 = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0, Hp - S_WIN)
+            x0 = jnp.clip(jnp.floor(x1).astype(jnp.int32) - 1, 0, Wp - S_WIN)
+            # window covers the roi iff its level map fits entirely or the
+            # sampled span (+taps, +alignment slack) does
+            ok = jnp.all(((Hp <= S_WIN) | (bin_h * o <= S_WIN - 4)) &
+                         ((Wp <= S_WIN) | (bin_w * o <= S_WIN - 4)))
+            W1w = _axis_weights(y1, bin_h, o, s, Hv, S_WIN, -y0, dtype, g=gy)
+            W2w = _axis_weights(x1, bin_w, o, s, Wv, S_WIN, -x0, dtype, g=gx)
+            return _hybrid_crop(
+                (o, per_image), tuple(levels), Wy_all, Wx_all,
+                level_of_roi, ok, y0, x0, W1w, W2w).reshape(R, o, o, C)
         for l, feat in enumerate(levels):
             Hl, Wl = feat.shape[1], feat.shape[2]
             sel = (level_of_roi == l).astype(dtype)

@@ -72,17 +72,75 @@ class TestFusedCrop:
                                           per_image=P)
         finally:
             ra.USE_PALLAS_CROP = None
-        # interpret-mode pallas through the wrapper: monkeypatch the entry
-        import panoswintransformerobjectdetection_tpu.ops.roi_align_pallas as rap
-        orig = rap.fused_crop_per_image
+        # pallas path forced on; interpret mode engages automatically off-TPU
         try:
             ra.USE_PALLAS_CROP = True
-            rap_patch = lambda f, wy, wx, chunk=16: orig(f, wy, wx, chunk, True)
-            rap.fused_crop_per_image = rap_patch
             out = ra.multilevel_roi_align(feats, rois, strides=(4, 8, 16, 32),
                                           per_image=P)
         finally:
-            rap.fused_crop_per_image = orig
             ra.USE_PALLAS_CROP = None
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4)
+
+
+class TestWindowedCrop:
+    """Windowed (locality) Pallas crop vs the dense einsum path through
+    `multilevel_roi_align` — forward parity, adaptive sampling, the
+    oversized-roi `lax.cond` fallback, and gradient parity."""
+
+    def _feats_rois(self, rng, B=2, P=10, C=256, extreme=False):
+        feats = [jnp.asarray(rng.standard_normal((B, 128 // s, 256 // s, C)),
+                             jnp.float32) for s in (1, 2, 4, 8)]
+        rois = []
+        for b in range(B):
+            for i in range(P):
+                x1, y1 = rng.uniform(0, 600), rng.uniform(0, 300)
+                w, h = rng.uniform(8, 400), rng.uniform(8, 200)
+                if extreme and i == 0:
+                    # ~26:1 aspect: x-span exceeds the 32px window on its
+                    # area-routed level -> whole batch must fall back
+                    x1, y1, w, h = 0.0, 100.0, 1020.0, 10.0
+                rois.append([b, x1, y1, min(x1 + w, 1023), min(y1 + h, 511)])
+        return feats, jnp.asarray(np.asarray(rois, np.float32))
+
+    @pytest.mark.parametrize("sr", [2, 0])
+    def test_forward_parity(self, rng, sr):
+        feats, rois = self._feats_rois(rng)
+        ref = ra.multilevel_roi_align(feats, rois, per_image=10,
+                                      sampling_ratio=sr)
+        try:
+            ra.USE_PALLAS_CROP = True
+            out = ra.multilevel_roi_align(feats, rois, per_image=10,
+                                          sampling_ratio=sr)
+        finally:
+            ra.USE_PALLAS_CROP = None
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_oversized_roi_falls_back_exactly(self, rng):
+        feats, rois = self._feats_rois(rng, extreme=True)
+        ref = ra.multilevel_roi_align(feats, rois, per_image=10)
+        try:
+            ra.USE_PALLAS_CROP = True
+            out = ra.multilevel_roi_align(feats, rois, per_image=10)
+        finally:
+            ra.USE_PALLAS_CROP = None
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_grad_parity(self, rng):
+        feats, rois = self._feats_rois(rng, P=6)
+
+        def loss(f0):
+            out = ra.multilevel_roi_align([f0] + feats[1:], rois,
+                                          per_image=6)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        g_ref = jax.grad(loss)(feats[0])
+        try:
+            ra.USE_PALLAS_CROP = True
+            g = jax.grad(loss)(feats[0])
+        finally:
+            ra.USE_PALLAS_CROP = None
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   atol=1e-3, rtol=1e-4)
