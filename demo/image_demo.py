@@ -14,9 +14,16 @@ def main():
     p.add_argument("img")
     p.add_argument("config")
     p.add_argument("checkpoint", nargs="?", default=None)
+    p.add_argument("--checkpoint", dest="checkpoint_opt", default=None,
+                   help="alias for the positional checkpoint argument")
     p.add_argument("--score-thr", type=float, default=0.3)
     p.add_argument("--out-file", default="demo_out.jpg")
+    p.add_argument("--dump-json", default=None,
+                   help="write [{bbox, score, label}] (detections above "
+                        "--score-thr) to this path")
     args = p.parse_args()
+    if args.checkpoint_opt is not None:
+        args.checkpoint = args.checkpoint_opt
 
     import cv2
     import numpy as np
@@ -31,10 +38,14 @@ def main():
 
     img = cv2.imread(args.img)
     classes = cfg.get("classes")
+    records = []
     for c, dets in enumerate(per_class):
         for x1, y1, x2, y2, score in dets:
             if score < args.score_thr:
                 continue
+            records.append({"bbox": [float(x1), float(y1),
+                                     float(x2), float(y2)],
+                            "score": float(score), "label": int(c)})
             cv2.rectangle(img, (int(x1), int(y1)), (int(x2), int(y2)),
                           (0, 255, 0), 2)
             name = classes[c] if classes else str(c)
@@ -42,6 +53,12 @@ def main():
                         cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
     cv2.imwrite(args.out_file, img)
     print(f"saved {args.out_file}")
+    if args.dump_json:
+        import json
+        records.sort(key=lambda r: -r["score"])
+        with open(args.dump_json, "w") as f:
+            json.dump(records, f, indent=1)
+        print(f"saved {args.dump_json} ({len(records)} detections)")
 
 
 if __name__ == "__main__":

@@ -13,13 +13,27 @@ import jax.numpy as jnp
 
 
 def bbox_area(boxes: jnp.ndarray) -> jnp.ndarray:
-    """(..., 4) xyxy -> (...)."""
+    """(..., 4) xyxy -> (...).
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> float(bbox_area(jnp.array([0., 0., 4., 2.])))
+        8.0
+    """
     return (boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])
 
 
 def bbox_overlaps(a: jnp.ndarray, b: jnp.ndarray, mode: str = "iou",
                   eps: float = 1e-6) -> jnp.ndarray:
-    """All-pairs IoU / IoF: (..., N, 4), (..., M, 4) -> (..., N, M)."""
+    """All-pairs IoU / IoF: (..., N, 4), (..., M, 4) -> (..., N, M).
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> a = jnp.array([[0., 0., 2., 2.]])
+        >>> b = jnp.array([[1., 1., 3., 3.], [4., 4., 5., 5.]])
+        >>> [round(float(v), 4) for v in bbox_overlaps(a, b)[0]]
+        [0.1429, 0.0]
+    """
     lt = jnp.maximum(a[..., :, None, :2], b[..., None, :, :2])
     rb = jnp.minimum(a[..., :, None, 2:], b[..., None, :, 2:])
     wh = jnp.clip(rb - lt, 0.0, None)
@@ -110,7 +124,13 @@ def flip_boxes(boxes: jnp.ndarray, img_w: float, direction: str = "horizontal") 
 
 
 def xyxy_to_tlwh(boxes: jnp.ndarray) -> jnp.ndarray:
-    """xyxy -> (x, y, w, h) (`lzx/coor_transition.py:4 xyxy2tlwh`)."""
+    """xyxy -> (x, y, w, h) (`lzx/coor_transition.py:4 xyxy2tlwh`).
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> xyxy_to_tlwh(jnp.array([1., 2., 5., 4.])).tolist()
+        [1.0, 2.0, 4.0, 2.0]
+    """
     return jnp.stack([boxes[..., 0], boxes[..., 1],
                       boxes[..., 2] - boxes[..., 0],
                       boxes[..., 3] - boxes[..., 1]], axis=-1)
@@ -245,7 +265,13 @@ def bbox_rescale(bboxes, scale_factor: float = 1.0):
 
 
 def bbox_cxcywh_to_xyxy(bbox):
-    """`transforms.py:215`."""
+    """`transforms.py:215`.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> bbox_cxcywh_to_xyxy(jnp.array([2., 2., 2., 4.])).tolist()
+        [1.0, 0.0, 3.0, 4.0]
+    """
     cx, cy, w, h = bbox[..., 0], bbox[..., 1], bbox[..., 2], bbox[..., 3]
     return jnp.stack([cx - 0.5 * w, cy - 0.5 * h,
                       cx + 0.5 * w, cy + 0.5 * h], -1)

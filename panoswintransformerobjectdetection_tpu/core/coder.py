@@ -21,7 +21,17 @@ class BaseBBoxCoder:
 
 class DeltaXYWHBBoxCoder(BaseBBoxCoder):
     """`delta_xywh_bbox_coder.py:10`: (dx, dy, dw, dh) deltas with
-    mean/std normalization."""
+    mean/std normalization.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> coder = DeltaXYWHBBoxCoder()
+        >>> rois = jnp.array([[0., 0., 10., 10.]])
+        >>> gts = jnp.array([[2., 2., 12., 12.]])
+        >>> d = coder.encode(rois, gts)
+        >>> coder.decode(rois, d).round(4).tolist()  # exact roundtrip
+        [[2.0, 2.0, 12.0, 12.0]]
+    """
 
     def __init__(self, target_means=(0., 0., 0., 0.),
                  target_stds=(1., 1., 1., 1.), clip_border: bool = True):

@@ -55,7 +55,13 @@ def uv_to_xyz(uv: jnp.ndarray, r: float = 1.0) -> jnp.ndarray:
 
 
 def wrap_u(u: jnp.ndarray) -> jnp.ndarray:
-    """Wrap longitudes into (-pi, pi] (reference `u_correct`)."""
+    """Wrap longitudes into (-pi, pi] (reference `u_correct`).
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> round(float(wrap_u(jnp.asarray(4.0))), 4)  # 4 rad -> 4 - 2*pi
+        -2.2832
+    """
     u = jnp.where(u > PI, u - 2.0 * PI, u)
     u = jnp.where(u <= -PI, u + 2.0 * PI, u)
     return u
@@ -97,6 +103,13 @@ def haversine(uv1: jnp.ndarray, uv2: jnp.ndarray) -> jnp.ndarray:
     The inner loop of every PanoSwin attention block (reference
     `haversine22`, `lzx/models/great_circle.py:74`); numerically stabler
     than the arccos form near zero.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> a = jnp.array([[0.0, 0.0]])          # (lon, lat) on the equator
+        >>> b = jnp.array([[jnp.pi / 2, 0.0]])   # quarter turn away
+        >>> round(float(haversine(a, b)[0, 0]), 5)
+        1.5708
     """
     v1 = uv1[..., 1][..., :, None]
     u1 = uv1[..., 0][..., :, None]

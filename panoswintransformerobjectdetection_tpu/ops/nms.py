@@ -51,6 +51,14 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     Sequential depth is O(N / BLOCK * chain) instead of O(N), with
     O(BLOCK * N) peak memory.  Matches the scalar greedy algorithm (the
     mmcv `nms` semantics) exactly.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> boxes = jnp.array([[0., 0., 10., 10.], [1., 1., 11., 11.],
+        ...                    [20., 20., 30., 30.]])
+        >>> r = nms(boxes, jnp.array([0.9, 0.8, 0.7]), 0.5, max_out=3)
+        >>> r.idx[r.mask].tolist()   # second box suppressed by the first
+        [0, 2]
     """
     N = boxes.shape[0]
     if valid is not None:

@@ -181,12 +181,35 @@ def _crop_level_per_image(feat, Wy, Wx, chunk: int = 512):
     return out[:, :P]
 
 
-def _windowed_supported(levels, o) -> bool:
+def _windowed_supported(levels, o, chunk: int = 8) -> bool:
     """Static eligibility of the windowed Pallas crop: lane-aligned C
-    (the kernel's VMEM reshapes split the minor dim at C) and an output
-    size whose per-bin span can fit the window for in-band rois."""
+    (the kernel's VMEM reshapes split the minor dim at C), an output
+    size whose per-bin span can fit the window for in-band rois, and a
+    VMEM footprint (patch scratch + output block + weight blocks) under
+    a ~10 MB budget — Mosaic fails compile, not falls back, when the
+    scratch does not fit, so this must be checked statically."""
+    from .roi_align_pallas import SY_WIN, SX_WIN
     C = levels[0].shape[-1]
-    return C % 128 == 0 and o <= 16 and len(levels) <= 4
+    itemsize = jnp.dtype(levels[0].dtype).itemsize
+    vmem = (chunk * SY_WIN * SX_WIN * C          # patch scratch
+            + chunk * o * o * C                  # output block
+            + chunk * o * (SY_WIN + SX_WIN)) * itemsize
+    return (C % 128 == 0 and o <= 16 and len(levels) <= 4
+            and vmem <= 10 * 2 ** 20)
+
+
+def _pad_h(h: int) -> int:
+    """Windowed-crop padded H extent of a level (window must fit)."""
+    from .roi_align_pallas import SY_WIN
+    return max(h, SY_WIN)
+
+
+def _pad_w(w: int) -> int:
+    """Windowed-crop padded W extent: window must fit AND the extent must
+    be a multiple of SX_ALIGN so the clipped-then-aligned x origin stays
+    within [0, W - SX_WIN] (both bounds multiples of SX_ALIGN)."""
+    from .roi_align_pallas import SX_WIN, SX_ALIGN
+    return max(-(-w // SX_ALIGN) * SX_ALIGN, SX_WIN)
 
 
 def _dense_multilevel(levels, Wy_all, Wx_all, level_of_roi, o, per_image):
@@ -220,21 +243,21 @@ def _float0(x):
 def _hybrid_forward(static, levels, Wy_all, Wx_all, level_of_roi, ok,
                     y0, x0, W1w, W2w):
     import jax
-    from .roi_align_pallas import windowed_crop, S_WIN
+    from .roi_align_pallas import windowed_crop, SY_WIN, SX_WIN
     o, per_image = static
     B = levels[0].shape[0]
     C = levels[0].shape[-1]
 
     def windowed(_):
-        padded = [jnp.pad(f, ((0, 0), (0, max(0, S_WIN - f.shape[1])),
-                              (0, max(0, S_WIN - f.shape[2])), (0, 0)))
+        padded = [jnp.pad(f, ((0, 0), (0, _pad_h(f.shape[1]) - f.shape[1]),
+                              (0, _pad_w(f.shape[2]) - f.shape[2]), (0, 0)))
                   for f in levels]
         interp = jax.devices()[0].platform != "tpu"
         crop = windowed_crop(
             list(padded), level_of_roi.reshape(B, per_image),
             y0.reshape(B, per_image), x0.reshape(B, per_image),
-            W1w.reshape(B, per_image, o, S_WIN),
-            W2w.reshape(B, per_image, o, S_WIN), o, interpret=interp)
+            W1w.reshape(B, per_image, o, SY_WIN),
+            W2w.reshape(B, per_image, o, SX_WIN), o, interpret=interp)
         return crop.reshape(-1, o, o, C)
 
     def dense(_):
@@ -347,17 +370,27 @@ def _roi_align_packed(levels, rois, level_of_roi, inv_strides, out_size,
         Wx_all = _axis_weights(x1, bin_w, o, s, Wv, Wmax,
                                jnp.zeros_like(bidx), dtype, g=gx)
         if _pallas_crop_enabled() and _windowed_supported(levels, o):
-            from .roi_align_pallas import S_WIN
-            Hp = jnp.maximum(Hv, S_WIN)   # padded extent of the roi's level
-            Wp = jnp.maximum(Wv, S_WIN)
-            y0 = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0, Hp - S_WIN)
-            x0 = jnp.clip(jnp.floor(x1).astype(jnp.int32) - 1, 0, Wp - S_WIN)
+            from .roi_align_pallas import SY_WIN, SX_WIN, SX_ALIGN
+            # padded extents of the roi's own level (match _hybrid_forward)
+            Hp = jnp.zeros_like(Hv)
+            Wp = jnp.zeros_like(Wv)
+            for l, f in enumerate(levels):
+                onl = level_of_roi == l
+                Hp = jnp.where(onl, _pad_h(f.shape[1]), Hp)
+                Wp = jnp.where(onl, _pad_w(f.shape[2]), Wp)
+            y0 = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0, Hp - SY_WIN)
+            x0 = jnp.clip(jnp.floor(x1).astype(jnp.int32) - 1, 0, Wp - SX_WIN)
+            # x origin aligned DOWN to the Mosaic tile (second-to-minor dim
+            # slices must be provably 8-divisible); the wider SX_WIN window
+            # absorbs the <= SX_ALIGN-1 px slack.  Still <= Wp - SX_WIN
+            # because that bound is itself a multiple of SX_ALIGN.
+            x0 = (x0 // SX_ALIGN) * SX_ALIGN
             # window covers the roi iff its level map fits entirely or the
             # sampled span (+taps, +alignment slack) does
-            ok = jnp.all(((Hp <= S_WIN) | (bin_h * o <= S_WIN - 4)) &
-                         ((Wp <= S_WIN) | (bin_w * o <= S_WIN - 4)))
-            W1w = _axis_weights(y1, bin_h, o, s, Hv, S_WIN, -y0, dtype, g=gy)
-            W2w = _axis_weights(x1, bin_w, o, s, Wv, S_WIN, -x0, dtype, g=gx)
+            ok = jnp.all(((Hv <= SY_WIN) | (bin_h * o <= SY_WIN - 4)) &
+                         ((Wv <= SX_WIN) | (bin_w * o <= SX_WIN - 11)))
+            W1w = _axis_weights(y1, bin_h, o, s, Hv, SY_WIN, -y0, dtype, g=gy)
+            W2w = _axis_weights(x1, bin_w, o, s, Wv, SX_WIN, -x0, dtype, g=gx)
             return _hybrid_crop(
                 (o, per_image), tuple(levels), Wy_all, Wx_all,
                 level_of_roi, ok, y0, x0, W1w, W2w).reshape(R, o, o, C)

@@ -171,24 +171,38 @@ def supports(feat, Wy, Wx) -> bool:
 # RoI against the FULL level extent (Hl then Wl) — ~36x redundant FLOPs,
 # because SingleRoIExtractor's area routing bounds almost every RoI's
 # footprint on its own level to < 28 px per axis (sqrt(area)/stride in
-# [14, 28) inside a level band).  Here each RoI DMAs one (S, S, C) patch
+# [14, 28) inside a level band).  Here each RoI DMAs one (SY, SX, C) patch
 # from its own level (conditional copy from one of the level refs, window
 # origin scalar-prefetched) and reduces it with two tiny GEMMs in VMEM:
 #
-#   t = W1[p] @ patch          (o, S) @ (S, S*C)  -> cast to feat dtype
-#   u = W2[p] @ t^T            (o, S) @ (S, o*C)
+#   t = W1[p] @ patch          (o, SY) @ (SY, SX*C)  -> cast to feat dtype
+#   u = W2[p] @ t^T            (o, SX) @ (SX, o*C)
 #
-# HBM traffic: R * S*S*C * 2 B  (2.1 GB at the flagship's 4,000 RoIs,
+# HBM traffic: R * SY*SX*C * 2 B  (2.6 GB at the flagship's 4,000 RoIs,
 # level-0 C=256) vs the dense path's ~470 GFLOP of MXU work — measured
 # 14.4 -> ~3 ms.  Numerics match the dense path exactly (same weights,
 # same f32-accumulate + dtype cast between stages); eligibility is checked
 # by the caller, which falls back to the dense path under `lax.cond` when
 # any RoI's span exceeds the window (degenerate aspect ratios).
+#
+# Mosaic alignment: HBM memref slices must have provably tile-aligned
+# offsets in the second-to-minor dim (W here, tiling 8).  An arbitrary
+# runtime x-origin cannot be proven divisible — BENCH_r04's "Failed to
+# prove that a tile index in dimension 2 is divisible by the tiling (8)"
+# was exactly this.  So the caller aligns the x-origin DOWN to a multiple
+# of SX_ALIGN and passes the TILE index x0/8; the kernel multiplies by 8
+# inside the slice expression, which Mosaic can prove divisible.  The x
+# window is SX_ALIGN-1 px wider than the y window to absorb the
+# align-down slack.  The y (second) dim of the memref is untiled, so the
+# y-origin stays a free runtime value.
 
-S_WIN = 32  # window extent per axis; covers spans < 28 (+taps, +align)
+SY_WIN = 32           # y window extent; covers spans <= SY_WIN - 4
+SX_ALIGN = 8          # Mosaic tiling of the second-to-minor memref dim
+SX_WIN = 40           # x window extent; covers spans <= SX_WIN - 11
+S_WIN = SY_WIN        # back-compat alias (tests, benches)
 
 
-def _windowed_kernel(lvl_ref, y0_ref, x0_ref, *refs, o, chunk, S, C,
+def _windowed_kernel(lvl_ref, y0_ref, x0t_ref, *refs, o, chunk, SY, SX, C,
                      n_levels):
     levels = refs[:n_levels]
     w1_ref, w2_ref = refs[n_levels], refs[n_levels + 1]
@@ -199,27 +213,29 @@ def _windowed_kernel(lvl_ref, y0_ref, x0_ref, *refs, o, chunk, S, C,
 
     for j in range(chunk):
         yj = y0_ref[b, r * chunk + j]
-        xj = x0_ref[b, r * chunk + j]
+        # x origin arrives as a TILE index; the explicit * SX_ALIGN in the
+        # slice is what lets Mosaic prove 8-divisibility (see header note)
+        xj = x0t_ref[b, r * chunk + j] * SX_ALIGN
         lj = lvl_ref[b, r * chunk + j]
         for l in range(n_levels):
             @pl.when(lj == l)
             def _(F=levels[l], yj=yj, xj=xj, j=j):
                 pltpu.make_async_copy(
-                    F.at[b, pl.ds(yj, S), pl.ds(xj, S), :],
+                    F.at[b, pl.ds(yj, SY), pl.ds(xj, SX), :],
                     patches.at[j], sems.at[j]).start()
 
     for j in range(chunk):
         # every level branch copies the same byte count; wait on slot j
         pltpu.make_async_copy(
-            levels[0].at[b, pl.ds(0, S), pl.ds(0, S), :],
+            levels[0].at[b, pl.ds(0, SY), pl.ds(0, SX), :],
             patches.at[j], sems.at[j]).wait()
-        patch = patches[j].reshape(S, S * C)
+        patch = patches[j].reshape(SY, SX * C)
         t = jax.lax.dot_general(
             w1_ref[0, j], patch, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (o, S*C)
-        t = t.astype(o_ref.dtype).reshape(o, S, C).transpose(1, 0, 2)
+            preferred_element_type=jnp.float32)          # (o, SX*C)
+        t = t.astype(o_ref.dtype).reshape(o, SX, C).transpose(1, 0, 2)
         u = jax.lax.dot_general(
-            w2_ref[0, j], t.reshape(S, o * C), (((1,), (0,)), ((), ())),
+            w2_ref[0, j], t.reshape(SX, o * C), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (o_x, o_i*C)
         u = u.reshape(o, o, C).transpose(1, 0, 2)        # (o_i, o_x, C)
         o_ref[0, j] = u.astype(o_ref.dtype)
@@ -227,15 +243,18 @@ def _windowed_kernel(lvl_ref, y0_ref, x0_ref, *refs, o, chunk, S, C,
 
 def windowed_crop(levels, lvl, y0, x0, W1, W2, out_size: int,
                   chunk: int = 8, interpret: bool = False):
-    """Crop every RoI from its own level's (S_WIN, S_WIN) window.
+    """Crop every RoI from its own level's (SY_WIN, SX_WIN) window.
 
-    levels: list of (B, Hl, Wl, C) maps, each pre-padded to Hl, Wl >=
-    S_WIN; lvl/y0/x0: (B, P) int32 level id and window origin (clipped to
-    [0, extent - S_WIN]); W1/W2: (B, P, o, S_WIN) window-relative axis
-    weights.  Returns (B, P, o, o, C) in the levels' dtype.
+    levels: list of (B, Hl, Wl, C) maps, each pre-padded to Hl >= SY_WIN
+    and Wl >= SX_WIN with Wl % SX_ALIGN == 0; lvl/y0/x0: (B, P) int32
+    level id and window origin (y0 clipped to [0, Hl - SY_WIN]; x0
+    clipped to [0, Wl - SX_WIN] AND a multiple of SX_ALIGN); W1: (B, P,
+    o, SY_WIN) / W2: (B, P, o, SX_WIN) window-relative axis weights.
+    Returns (B, P, o, o, C) in the levels' dtype.
     """
     B, P = lvl.shape
-    o, S = W1.shape[2], W1.shape[3]
+    o, SY = W1.shape[2], W1.shape[3]
+    SX = W2.shape[3]
     C = levels[0].shape[-1]
     pad = (-P) % chunk
     if pad:
@@ -244,32 +263,33 @@ def windowed_crop(levels, lvl, y0, x0, W1, W2, out_size: int,
         y0 = jnp.concatenate([y0, zi], axis=1)
         x0 = jnp.concatenate([x0, zi], axis=1)
         W1 = jnp.concatenate(
-            [W1, jnp.zeros((B, pad, o, S), W1.dtype)], axis=1)
+            [W1, jnp.zeros((B, pad, o, SY), W1.dtype)], axis=1)
         W2 = jnp.concatenate(
-            [W2, jnp.zeros((B, pad, o, S), W2.dtype)], axis=1)
+            [W2, jnp.zeros((B, pad, o, SX), W2.dtype)], axis=1)
     Pp = P + pad
     nr = Pp // chunk
     n_levels = len(levels)
+    x0t = x0 // SX_ALIGN    # tile index; kernel re-scales (alignment proof)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, nr),
         in_specs=(
             [pl.BlockSpec(memory_space=pltpu.ANY)] * n_levels +
-            [pl.BlockSpec((1, chunk, o, S), lambda b, r, *_: (b, r, 0, 0)),
-             pl.BlockSpec((1, chunk, o, S), lambda b, r, *_: (b, r, 0, 0))]),
+            [pl.BlockSpec((1, chunk, o, SY), lambda b, r, *_: (b, r, 0, 0)),
+             pl.BlockSpec((1, chunk, o, SX), lambda b, r, *_: (b, r, 0, 0))]),
         out_specs=pl.BlockSpec((1, chunk, o, o, C),
                                lambda b, r, *_: (b, r, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((chunk, S, S, C), levels[0].dtype),
+            pltpu.VMEM((chunk, SY, SX, C), levels[0].dtype),
             pltpu.SemaphoreType.DMA((chunk,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_windowed_kernel, o=o, chunk=chunk, S=S, C=C,
-                          n_levels=n_levels),
+        functools.partial(_windowed_kernel, o=o, chunk=chunk, SY=SY, SX=SX,
+                          C=C, n_levels=n_levels),
         out_shape=jax.ShapeDtypeStruct((B, Pp, o, o, C), levels[0].dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(lvl, y0, x0, *levels, W1, W2)
+    )(lvl, y0, x0t, *levels, W1, W2)
     return out[:, :P] if pad else out

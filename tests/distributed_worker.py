@@ -108,9 +108,20 @@ def main():
     sigs = multihost_utils.process_allgather(shape_sig, tiled=False)
     for other in np.asarray(sigs):
         assert (other == np.asarray(sigs)[0]).all(), "batch shapes differ"
-    # shards must not overlap within an epoch's chunk assignment
-    own = sorted(i for b in batches for i in b.get("indices", []))
-    print(f"[p{pid}] loader: {len(batches)} batches, shard ok", flush=True)
+    # shard coverage: union of all shards' record indices covers the
+    # dataset, and overlap is at most the chunk padding (the chunk list is
+    # padded by repeating leading chunks up to a multiple of num_shards)
+    own = np.sort(np.array([i for b in batches
+                            for i in b["indices"]], np.int64))
+    all_idx = multihost_utils.process_allgather(own, tiled=False)
+    flat = np.asarray(all_idx).reshape(-1)
+    assert set(flat.tolist()) == set(range(len(ds))), \
+        f"shards do not cover the dataset: {sorted(set(flat.tolist()))}"
+    n_dup = len(flat) - len(set(flat.tolist()))
+    max_pad = (nproc - 1) * 2  # (num_shards-1) padding chunks x batch_size
+    assert n_dup <= max_pad, f"shard overlap {n_dup} > padding bound {max_pad}"
+    print(f"[p{pid}] loader: {len(batches)} batches, shard coverage ok "
+          f"(dup={n_dup})", flush=True)
 
     # --- 2 + 4. global-mesh training + process-0 checkpointing ----------
     det = build(DETECTORS, {
