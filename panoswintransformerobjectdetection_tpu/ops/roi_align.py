@@ -240,15 +240,39 @@ def _float0(x):
         else jnp.zeros_like(x)
 
 
+def _overflow_budget(per_image: int) -> int:
+    """Static PER-IMAGE slot budget K for the hybrid's dense overflow pass
+    (oversized-span RoIs that the windowed kernel cannot cover).  Sized so
+    the K-bounded dense pass stays well under the full dense cost while
+    covering the measured ~20% overflow fraction of realistic RPN
+    proposal mixes (tools/bench_roi_align.py) with ~2x margin."""
+    return min(per_image, max(64, -(-(per_image * 2 // 5) // 64) * 64))
+
+
 def _hybrid_forward(static, levels, Wy_all, Wx_all, level_of_roi, ok,
                     y0, x0, W1w, W2w):
+    """ok: (R,) per-RoI window-eligibility.  RoIs with ok run through the
+    windowed Pallas crop; the few oversized ones (degenerate aspect
+    ratios whose span on their own level exceeds the window) are compacted
+    into K static slots with a one-hot matmul (no gathers — XLA lowers
+    gathers to a serial scalar loop on this backend) and pooled through
+    the dense einsum path at K-bounded cost; a full dense fallback runs
+    only when more than K RoIs overflow."""
     import jax
     from .roi_align_pallas import windowed_crop, SY_WIN, SX_WIN
     o, per_image = static
     B = levels[0].shape[0]
     C = levels[0].shape[-1]
+    R = Wy_all.shape[0]
+    Hmax = Wy_all.shape[2]
+    Wmax = Wx_all.shape[2]
+    dtype = levels[0].dtype
+    K = _overflow_budget(per_image)
 
-    def windowed(_):
+    notok = jnp.logical_not(ok)
+    n_over = notok.reshape(B, per_image).sum(axis=1).max()
+
+    def windowed():
         padded = [jnp.pad(f, ((0, 0), (0, _pad_h(f.shape[1]) - f.shape[1]),
                               (0, _pad_w(f.shape[2]) - f.shape[2]), (0, 0)))
                   for f in levels]
@@ -260,11 +284,45 @@ def _hybrid_forward(static, levels, Wy_all, Wx_all, level_of_roi, ok,
             W2w.reshape(B, per_image, o, SX_WIN), o, interpret=interp)
         return crop.reshape(-1, o, o, C)
 
+    def hybrid(_):
+        win = windowed()
+        # compact each image's <= K oversized RoIs into static slots:
+        # S[b, k, p] = 1 iff p is the k-th oversized roi of image b
+        # (one-hot matmuls, MXU-friendly — no gathers), then pool the
+        # compacted set through the per-image dense machinery at
+        # K-bounded cost and scatter back with the transposed one-hot.
+        no2 = notok.reshape(B, per_image)
+        pos = jnp.cumsum(no2.astype(jnp.int32), axis=1) - 1
+        S = ((pos[:, None, :] == jnp.arange(K, dtype=jnp.int32)[None, :, None])
+             & no2[:, None, :]).astype(jnp.float32)       # (B, K, per_image)
+        Wy_k = jnp.einsum(
+            "bkp,bpm->bkm", S,
+            Wy_all.reshape(B, per_image, -1).astype(jnp.float32)
+        ).reshape(B, K, o, Hmax).astype(dtype)
+        Wx_k = jnp.einsum(
+            "bkp,bpm->bkm", S,
+            Wx_all.reshape(B, per_image, -1).astype(jnp.float32)
+        ).reshape(B, K, o, Wmax).astype(dtype)
+        lvl_k = jnp.round(jnp.einsum(
+            "bkp,bp->bk", S,
+            level_of_roi.reshape(B, per_image).astype(jnp.float32)))
+        out_k = jnp.zeros((B, K, o, o, C), dtype)
+        for l, feat in enumerate(levels):
+            Hl, Wl = feat.shape[1], feat.shape[2]
+            sel = (lvl_k == l).astype(dtype)
+            out_k = out_k + _crop_level_per_image(
+                feat, Wy_k[:, :, :, :Hl] * sel[:, :, None, None],
+                Wx_k[:, :, :, :Wl])
+        over = jnp.einsum("bkp,bkabc->bpabc", S,
+                          out_k.astype(jnp.float32)).astype(dtype)
+        return jnp.where(ok[:, None, None, None], win,
+                         over.reshape(R, o, o, C))
+
     def dense(_):
         return _dense_multilevel(levels, Wy_all, Wx_all, level_of_roi, o,
                                  per_image)
 
-    return lax.cond(ok, windowed, dense, operand=None)
+    return lax.cond(n_over <= K, hybrid, dense, operand=None)
 
 
 import functools as _functools
@@ -274,11 +332,12 @@ import jax as _jax
 @_functools.partial(_jax.custom_vjp, nondiff_argnums=(0,))
 def _hybrid_crop(static, levels, Wy_all, Wx_all, level_of_roi, ok,
                  y0, x0, W1w, W2w):
-    """Windowed Pallas crop with exact dense fallback (`lax.cond` on the
-    runtime span-eligibility predicate).  Both branches compute the same
-    values (same weights, same f32-accumulate + dtype cast between
-    stages), so the VJP is taken through the dense einsum formulation —
-    feature and roi-coordinate gradients match the plain dense path."""
+    """Windowed Pallas crop with per-RoI eligibility (`ok`: (R,) bool),
+    a K-bounded dense pass for oversized RoIs, and a full dense fallback
+    when more than K overflow.  All paths compute the same values (same
+    weights, same f32-accumulate + dtype cast between stages), so the VJP
+    is taken through the dense einsum formulation — feature and
+    roi-coordinate gradients match the plain dense path."""
     return _hybrid_forward(static, levels, Wy_all, Wx_all, level_of_roi,
                            ok, y0, x0, W1w, W2w)
 
@@ -385,10 +444,13 @@ def _roi_align_packed(levels, rois, level_of_roi, inv_strides, out_size,
             # absorbs the <= SX_ALIGN-1 px slack.  Still <= Wp - SX_WIN
             # because that bound is itself a multiple of SX_ALIGN.
             x0 = (x0 // SX_ALIGN) * SX_ALIGN
-            # window covers the roi iff its level map fits entirely or the
-            # sampled span (+taps, +alignment slack) does
-            ok = jnp.all(((Hv <= SY_WIN) | (bin_h * o <= SY_WIN - 4)) &
-                         ((Wv <= SX_WIN) | (bin_w * o <= SX_WIN - 11)))
+            # window covers a roi iff its level map fits entirely or the
+            # sampled span (+taps, +alignment slack) does — PER-ROI; the
+            # few oversized ones go through the K-bounded dense overflow
+            # pass inside _hybrid_crop instead of forfeiting the whole
+            # batch's fast path
+            ok = (((Hv <= SY_WIN) | (bin_h * o <= SY_WIN - 4)) &
+                  ((Wv <= SX_WIN) | (bin_w * o <= SX_WIN - 11)))
             W1w = _axis_weights(y1, bin_h, o, s, Hv, SY_WIN, -y0, dtype, g=gy)
             W2w = _axis_weights(x1, bin_w, o, s, Wv, SX_WIN, -x0, dtype, g=gx)
             return _hybrid_crop(
@@ -432,6 +494,53 @@ def roi_align(feats: jnp.ndarray, rois: jnp.ndarray, out_size: int = 7,
     lvl = jnp.zeros((R,), jnp.int32)
     return _roi_align_packed([feats], rois, lvl, inv, out_size,
                              sampling_ratio, aligned)
+
+
+def window_engage_stats(feat_hw, rois, strides=(4, 8, 16, 32),
+                        out_size: int = 7, finest_scale: int = 56,
+                        aligned: bool = True, per_image: Optional[int] = None):
+    """Host-side (numpy) diagnostic: how often the windowed Pallas crop
+    engages on a given RoI set.
+
+    Mirrors `multilevel_roi_align`'s level routing (incl. the wide-map
+    transpose) and `_roi_align_packed`'s per-RoI window-eligibility
+    predicate.  feat_hw: list of (Hl, Wl) level extents; rois: (R, 5)
+    numpy array.  Returns dict with the ok fraction, the overflow count
+    vs the K budget, and which runtime branch the hybrid takes.
+    """
+    from .roi_align_pallas import SY_WIN, SX_WIN
+    rois = np.asarray(rois, np.float32)
+    R = rois.shape[0]
+    L = len(feat_hw)
+    transposed = sum(w for _, w in feat_hw) > sum(h for h, _ in feat_hw)
+    w_roi = rois[:, 3] - rois[:, 1]
+    h_roi = rois[:, 4] - rois[:, 2]
+    if transposed:
+        w_roi, h_roi = h_roi, w_roi
+        feat_hw = [(w, h) for h, w in feat_hw]
+    scale_sz = np.sqrt(np.clip(w_roi * h_roi, 0.0, None))
+    lvl = np.clip(np.floor(np.log2(scale_sz / finest_scale + 1e-6)
+                           ).astype(np.int32), 0, L - 1)
+    inv = np.array([1.0 / s for s in strides], np.float32)[lvl]
+    span_y = h_roi * inv
+    span_x = w_roi * inv
+    if not aligned:
+        span_y = np.maximum(span_y, 1.0)
+        span_x = np.maximum(span_x, 1.0)
+    Hv = np.array([h for h, _ in feat_hw], np.int32)[lvl]
+    Wv = np.array([w for _, w in feat_hw], np.int32)[lvl]
+    ok = (((Hv <= SY_WIN) | (span_y <= SY_WIN - 4)) &
+          ((Wv <= SX_WIN) | (span_x <= SX_WIN - 11)))
+    P = per_image if per_image else R
+    n_over = int((~ok).reshape(-1, P).sum(axis=1).max()) if R else 0
+    K = _overflow_budget(P)
+    return {
+        "n_rois": R,
+        "ok_fraction": float(ok.mean()) if R else 1.0,
+        "max_over_per_image": n_over,
+        "overflow_budget": K,
+        "branch": "windowed+K-dense" if n_over <= K else "full-dense",
+    }
 
 
 def multilevel_roi_align(feats, rois: jnp.ndarray, strides=(4, 8, 16, 32),

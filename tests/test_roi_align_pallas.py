@@ -144,3 +144,67 @@ class TestWindowedCrop:
             ra.USE_PALLAS_CROP = None
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    atol=1e-3, rtol=1e-4)
+
+
+class TestPerRoiHybrid:
+    """Per-RoI eligibility: oversized RoIs route through the K-bounded
+    dense overflow pass (one-hot compaction) without forfeiting the
+    windowed fast path for the rest; > K overflow per image falls back
+    to the full dense branch.  Both must match the dense path exactly."""
+
+    def _mixed_rois(self, rng, B, P, n_over_per_image):
+        rois = []
+        for b in range(B):
+            for i in range(P):
+                if i < n_over_per_image:
+                    # ~8:1 aspect: x-span exceeds the window on its level
+                    x1, y1 = rng.uniform(0, 200), rng.uniform(50, 300)
+                    w, h = 640.0, 80.0
+                else:
+                    x1, y1 = rng.uniform(0, 600), rng.uniform(0, 300)
+                    s = rng.uniform(16, 100)
+                    w = h = s
+                rois.append([b, x1, y1, min(x1 + w, 1023), min(y1 + h, 511)])
+        return jnp.asarray(np.asarray(rois, np.float32))
+
+    def _feats(self, rng, B, C=256):
+        return [jnp.asarray(rng.standard_normal((B, 128 // s, 256 // s, C)),
+                            jnp.float32) for s in (1, 2, 4, 8)]
+
+    def test_hybrid_overflow_pass_exact(self, rng):
+        """A mix of fitting + oversized RoIs within the K budget."""
+        B, P = 2, 12
+        feats = self._feats(rng, B)
+        rois = self._mixed_rois(rng, B, P, n_over_per_image=3)
+        stats = ra.window_engage_stats(
+            [(f.shape[1], f.shape[2]) for f in feats], np.asarray(rois),
+            per_image=P)
+        assert stats["branch"] == "windowed+K-dense"
+        assert 0 < stats["max_over_per_image"] <= stats["overflow_budget"]
+        ref = ra.multilevel_roi_align(feats, rois, per_image=P)
+        try:
+            ra.USE_PALLAS_CROP = True
+            out = ra.multilevel_roi_align(feats, rois, per_image=P)
+        finally:
+            ra.USE_PALLAS_CROP = None
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_budget_exceeded_full_dense(self, rng):
+        """More than K oversized RoIs in one image -> full dense branch,
+        still exact."""
+        B, P = 1, 80
+        feats = self._feats(rng, B)
+        rois = self._mixed_rois(rng, B, P, n_over_per_image=70)
+        stats = ra.window_engage_stats(
+            [(f.shape[1], f.shape[2]) for f in feats], np.asarray(rois),
+            per_image=P)
+        assert stats["branch"] == "full-dense"
+        ref = ra.multilevel_roi_align(feats, rois, per_image=P)
+        try:
+            ra.USE_PALLAS_CROP = True
+            out = ra.multilevel_roi_align(feats, rois, per_image=P)
+        finally:
+            ra.USE_PALLAS_CROP = None
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)

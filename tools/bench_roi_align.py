@@ -67,6 +67,14 @@ def main():
 
     from panoswintransformerobjectdetection_tpu.ops import roi_align as ra
 
+    stats = ra.window_engage_stats(
+        [(f.shape[1], f.shape[2]) for f in feats], np.asarray(rois),
+        per_image=P)
+    print(f"windowed-crop engage rate on this roi mix: "
+          f"{stats['ok_fraction']:.1%} ok, max {stats['max_over_per_image']} "
+          f"overflow/image (budget {stats['overflow_budget']}) -> "
+          f"{stats['branch']}", flush=True)
+
     outs = {}
     for use_pallas in (False, True):
         ra.USE_PALLAS_CROP = use_pallas
