@@ -129,14 +129,21 @@ def main():
                 o = mm(a, bmat)
             hard_sync(o)
             peak_tflops = 2 * n ** 3 * 8 / (time.perf_counter() - t0) / 1e12
-            infer_flops = jax.jit(run).lower(images).cost_analysis()["flops"]
+            def _flops(lowered):
+                ca = lowered.cost_analysis()
+                if isinstance(ca, (list, tuple)):   # older API: per-device list
+                    ca = ca[0]
+                return float(ca["flops"])
+
+            infer_flops = _flops(run.lower(images))
             mfu_infer = (infer_flops / B) * ips / (peak_tflops * 1e12)
             if train_ips is not None:
-                train_flops = jax.jit(make_train_step(det)).lower(
-                    state, batch, key).cost_analysis()["flops"]
+                train_flops = _flops(step.lower(state, batch, key))
                 mfu_train = (train_flops / Bt) * train_ips / (peak_tflops * 1e12)
-        except Exception:
-            pass
+        except Exception as e:   # keep stdout as the single JSON line
+            import sys, traceback
+            print(f"MFU computation failed: {e!r}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
 
     baseline_fps = 16.1  # Mask R-CNN R50-FPN V100 (configs/mask_rcnn/README.md:23)
     rec = {

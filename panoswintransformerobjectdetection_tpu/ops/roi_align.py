@@ -313,7 +313,7 @@ def _hybrid_forward(static, levels, Wy_all, Wx_all, level_of_roi, ok,
             out_k = out_k + _crop_level_per_image(
                 feat, Wy_k[:, :, :, :Hl] * sel[:, :, None, None],
                 Wx_k[:, :, :, :Wl])
-        over = jnp.einsum("bkp,bkabc->bpabc", S,
+        over = jnp.einsum("bkp,bkxyc->bpxyc", S,
                           out_k.astype(jnp.float32)).astype(dtype)
         return jnp.where(ok[:, None, None, None], win,
                          over.reshape(R, o, o, C))

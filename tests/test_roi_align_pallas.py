@@ -88,9 +88,15 @@ class TestWindowedCrop:
     `multilevel_roi_align` — forward parity, adaptive sampling, the
     oversized-roi `lax.cond` fallback, and gradient parity."""
 
-    def _feats_rois(self, rng, B=2, P=10, C=256, extreme=False):
+    # C=128: in f32 the windowed kernel's VMEM budget check
+    # (_windowed_supported) rejects C=256 (scratch would be ~10.9 MB), so
+    # C=256 f32 fixtures would silently run BOTH sides down the dense path
+    # and test nothing; each test asserts eligibility to prevent that rot.
+    def _feats_rois(self, rng, B=2, P=10, C=128, extreme=False):
         feats = [jnp.asarray(rng.standard_normal((B, 128 // s, 256 // s, C)),
                              jnp.float32) for s in (1, 2, 4, 8)]
+        assert ra._windowed_supported(
+            [f.transpose(0, 2, 1, 3) for f in feats], 7)
         rois = []
         for b in range(B):
             for i in range(P):
@@ -167,9 +173,13 @@ class TestPerRoiHybrid:
                 rois.append([b, x1, y1, min(x1 + w, 1023), min(y1 + h, 511)])
         return jnp.asarray(np.asarray(rois, np.float32))
 
-    def _feats(self, rng, B, C=256):
-        return [jnp.asarray(rng.standard_normal((B, 128 // s, 256 // s, C)),
-                            jnp.float32) for s in (1, 2, 4, 8)]
+    def _feats(self, rng, B, C=128):
+        # C=128: f32 windowed-kernel VMEM eligibility (see TestWindowedCrop)
+        feats = [jnp.asarray(rng.standard_normal((B, 128 // s, 256 // s, C)),
+                             jnp.float32) for s in (1, 2, 4, 8)]
+        assert ra._windowed_supported(
+            [f.transpose(0, 2, 1, 3) for f in feats], 7)
+        return feats
 
     def test_hybrid_overflow_pass_exact(self, rng):
         """A mix of fitting + oversized RoIs within the K budget."""
