@@ -131,6 +131,8 @@ def main():
             peak_tflops = 2 * n ** 3 * 8 / (time.perf_counter() - t0) / 1e12
             def _flops(lowered):
                 ca = lowered.cost_analysis()
+                if ca is None:   # axon backend: only the compiled
+                    ca = lowered.compile().cost_analysis()   # executable has it
                 if isinstance(ca, (list, tuple)):   # older API: per-device list
                     ca = ca[0]
                 return float(ca["flops"])

@@ -133,7 +133,8 @@ def _pallas_crop_enabled() -> bool:
     return dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "")
 
 
-def _crop_level_per_image(feat, Wy, Wx, chunk: int = 512):
+def _crop_level_per_image(feat, Wy, Wx, chunk: int = 512,
+                          use_pallas: bool = True):
     """Per-image variant: crop[b,p] = Wy[b,p] @ F[b] @ Wx[b,p]^T.
 
     feat: (B, Hl, Wl, C); Wy: (B, P, o, Hl); Wx: (B, P, o, Wl).  Skips the
@@ -143,8 +144,11 @@ def _crop_level_per_image(feat, Wy, Wx, chunk: int = 512):
     On TPU the two chained einsums are replaced by the fused Pallas crop
     kernel (ops/roi_align_pallas.py), which keeps the (B, P, o, axis2, C)
     stage-1 intermediate in VMEM instead of round-tripping ~GBs of HBM.
+    use_pallas=False forces the einsum pair — at small P the Pallas
+    kernel's fixed feature-slab DMAs dominate and XLA wins (measured:
+    K=128 Pallas 18.7 ms vs einsum ~2 ms at flagship level-0).
     """
-    if _pallas_crop_enabled():
+    if use_pallas and _pallas_crop_enabled():
         import jax
         from .roi_align_pallas import fused_crop_per_image, supports
         if supports(feat, Wy, Wx):
@@ -191,11 +195,11 @@ def _windowed_supported(levels, o, chunk: int = 8) -> bool:
     from .roi_align_pallas import SY_WIN, SX_WIN
     C = levels[0].shape[-1]
     itemsize = jnp.dtype(levels[0].dtype).itemsize
-    vmem = (chunk * SY_WIN * SX_WIN * C          # patch scratch
-            + chunk * o * o * C                  # output block
-            + chunk * o * (SY_WIN + SX_WIN)) * itemsize
+    vmem = (2 * chunk * SY_WIN * SX_WIN * C      # double-buffered scratch
+            + 2 * chunk * o * o * C              # pipelined output block
+            + 2 * chunk * o * (SY_WIN + SX_WIN)) * itemsize
     return (C % 128 == 0 and o <= 16 and len(levels) <= 4
-            and vmem <= 10 * 2 ** 20)
+            and vmem <= 12 * 2 ** 20)
 
 
 def _pad_h(h: int) -> int:
@@ -245,8 +249,8 @@ def _overflow_budget(per_image: int) -> int:
     (oversized-span RoIs that the windowed kernel cannot cover).  Sized so
     the K-bounded dense pass stays well under the full dense cost while
     covering the measured ~20% overflow fraction of realistic RPN
-    proposal mixes (tools/bench_roi_align.py) with ~2x margin."""
-    return min(per_image, max(64, -(-(per_image * 2 // 5) // 64) * 64))
+    proposal mixes (tools/bench_roi_align.py) with margin."""
+    return min(per_image, max(64, -(-(per_image // 4) // 64) * 64))
 
 
 def _hybrid_forward(static, levels, Wy_all, Wx_all, level_of_roi, ok,
@@ -312,7 +316,7 @@ def _hybrid_forward(static, levels, Wy_all, Wx_all, level_of_roi, ok,
             sel = (lvl_k == l).astype(dtype)
             out_k = out_k + _crop_level_per_image(
                 feat, Wy_k[:, :, :, :Hl] * sel[:, :, None, None],
-                Wx_k[:, :, :, :Wl])
+                Wx_k[:, :, :, :Wl], use_pallas=False)
         over = jnp.einsum("bkp,bkxyc->bpxyc", S,
                           out_k.astype(jnp.float32)).astype(dtype)
         return jnp.where(ok[:, None, None, None], win,
