@@ -113,6 +113,32 @@ def _attention_core(q, k, v, bias, mask, scale):
     return out
 
 
+def _attention_core_hip(qkv, bias, mask, scale, h):
+    """Head-in-place attention: qkv stays (n, O, 3, h, hd) exactly as the
+    fused projection produced it — no (2, 0, 3, 1, 4) transpose.  At
+    stage-0 shapes that 5-D transpose relayouts ~75 MB per block and was
+    the dominant cost of the attention module (on-chip anatomy: attn 3.2
+    ms of a 5.0 ms block while qkv GEMM / bias / softmax each measure
+    ~0); dot_general with trailing batch-ish head axes folds the layout
+    into the matmuls instead.  bias: (nW, h, O, O) batch-shared;
+    returns (n, O, h*hd)."""
+    n, O = qkv.shape[0], qkv.shape[1]
+    hd = qkv.shape[-1]
+    q = qkv[:, :, 0] * scale                             # (n, O, h, hd)
+    k = qkv[:, :, 1]
+    v = qkv[:, :, 2]
+    attn = jnp.einsum("nqhd,nkhd->nhqk", q, k,
+                      preferred_element_type=jnp.float32)
+    nW = bias.shape[0]
+    attn = attn.reshape(n // nW, nW, h, O, O) + bias[None].astype(attn.dtype)
+    if mask is not None:
+        attn = attn + mask[None, :, None].astype(attn.dtype)
+    attn = attn.reshape(n, h, O, O)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("nhqk,nkhd->nqhd", attn.astype(v.dtype), v)
+    return out.reshape(n, O, h * hd)
+
+
 class WindowAttention(nn.Module):
     """W-MSA with dual-table spherical relative bias (`WindowAttention:315`)."""
     dim: int
@@ -142,32 +168,33 @@ class WindowAttention(nn.Module):
         h = self.num_heads
         hd = c // h
         scale = self.qk_scale or hd ** -0.5
-        qkv = self.qkv(x_windows).reshape(n, O, 3, h, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        qkv = self.qkv(x_windows).reshape(n, O, 3, h, hd)
         bias = sphere_bias(self.alpha_table, self.beta_table, self.rel_index,
                            uv_windows, uv_windows, pano_mode, hav=hav)
         if not pano_mode:
             bias = jnp.broadcast_to(bias, (uv_windows.shape[0],) + bias.shape[1:])
 
-        if self.fused:
-            from ..ops.fused_attention import packed_window_attention
-            if mask is not None:
-                # fold the shifted-window mask into the additive bias so
-                # the packed kernel covers planar SW-MSA too
-                bias = bias + mask[:, None].astype(bias.dtype)
-            Op = -(-O // 8) * 8
-            if Op != O:
-                padqkv = ((0, 0), (0, 0), (0, Op - O), (0, 0))
-                q = jnp.pad(q, padqkv)
-                k = jnp.pad(k, padqkv)
-                v = jnp.pad(v, padqkv)
-                # padded keys must never win the softmax
-                bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Op - O), (0, Op - O)),
-                               constant_values=0.0)
-                bias = bias.at[..., :, O:].set(-1e9)
-            out = packed_window_attention(q, k, v, bias, scale)[:, :, :O]
-        else:
-            out = _attention_core(q, k, v, bias, mask, scale)
+        if not self.fused:
+            return self.proj(_attention_core_hip(qkv, bias, mask, scale, h))
+
+        qkv = qkv.transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        from ..ops.fused_attention import packed_window_attention
+        if mask is not None:
+            # fold the shifted-window mask into the additive bias so
+            # the packed kernel covers planar SW-MSA too
+            bias = bias + mask[:, None].astype(bias.dtype)
+        Op = -(-O // 8) * 8
+        if Op != O:
+            padqkv = ((0, 0), (0, 0), (0, Op - O), (0, 0))
+            q = jnp.pad(q, padqkv)
+            k = jnp.pad(k, padqkv)
+            v = jnp.pad(v, padqkv)
+            # padded keys must never win the softmax
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Op - O), (0, Op - O)),
+                           constant_values=0.0)
+            bias = bias.at[..., :, O:].set(-1e9)
+        out = packed_window_attention(q, k, v, bias, scale)[:, :, :O]
         out = out.transpose(0, 2, 1, 3).reshape(n, O, c)
         return self.proj(out)
 

@@ -33,17 +33,31 @@ class TestConfig:
         set_by_dotted(cfg, "model.backbone.embed_dim", 64)
         assert cfg["model"]["backbone"]["embed_dim"] == 64
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("path", sorted(
         glob.glob(os.path.join(CONFIG_ROOT, "*", "*.py"))))
     def test_every_config_builds(self, path):
         # mirrors the reference's test_config.py: every leaf config must
-        # load (with _base_ inheritance) and instantiate its model
+        # load (with _base_ inheritance) and instantiate its model.
+        # ~500 leaf configs x ~0.7 s dominate the quick tier, so the full
+        # sweep is slow-marked (scheduled CI); the quick tier keeps one
+        # representative config per method family below.
         if "_base_" in path:
             pytest.skip("base fragment")
         cfg = load_config(path)
         assert "model" in cfg
         det = build_detector_from_cfg(cfg)
         assert det is not None
+
+    @pytest.mark.parametrize("family", sorted({
+        os.path.basename(os.path.dirname(p)) for p in
+        glob.glob(os.path.join(CONFIG_ROOT, "*", "*.py"))} - {"_base_"}))
+    def test_one_config_per_family_builds(self, family):
+        # quick-tier smoke: the first leaf config of every method family
+        paths = sorted(glob.glob(os.path.join(CONFIG_ROOT, family, "*.py")))
+        cfg = load_config(paths[0])
+        assert "model" in cfg
+        assert build_detector_from_cfg(cfg) is not None
 
 
 @pytest.fixture

@@ -14,6 +14,10 @@ from reference_loader import load_reference_panoswin_v2
 
 REF = load_reference_panoswin_v2()
 
+# torch-backed golden parity, ~4 min on one CPU — scheduled-CI tier
+# (the quick tier keeps the jax-only v2 coverage in test_panoswin.py)
+pytestmark = pytest.mark.slow
+
 
 def _build_pair(win_trans_type, ape=False, depths=(2, 2)):
     import torch

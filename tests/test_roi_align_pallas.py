@@ -83,6 +83,7 @@ class TestFusedCrop:
                                    atol=1e-4)
 
 
+@pytest.mark.slow  # interpret-mode windowed kernel, minutes on 1 CPU
 class TestWindowedCrop:
     """Windowed (locality) Pallas crop vs the dense einsum path through
     `multilevel_roi_align` — forward parity, adaptive sampling, the
@@ -152,6 +153,7 @@ class TestWindowedCrop:
                                    atol=1e-3, rtol=1e-4)
 
 
+@pytest.mark.slow  # interpret-mode windowed kernel, minutes on 1 CPU
 class TestPerRoiHybrid:
     """Per-RoI eligibility: oversized RoIs route through the K-bounded
     dense overflow pass (one-hot compaction) without forfeiting the
